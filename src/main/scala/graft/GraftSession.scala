@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.GraftFunctions
+
+/** One place to build a correctly-configured session: AQE on (skew join
+  * splitting is load-bearing for mega-polygon covers, SURVEY.md §2.2 E8),
+  * shuffle partitions sized to the core count (never the 200 default),
+  * UTC, and the graft function registry installed.
+  */
+object GraftSession {
+  def create(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Register graft functions on a session someone else built. */
+  def install(spark: SparkSession): SparkSession = {
+    GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions._
+import graft.operators.SpatialJoins
+import graft.sources.GeoTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Oracle-parity rules used throughout (driver hashes values after sorting
+  * columns by name):
+  *  - every aggregate/computed column aliased identically in Spark and SQL;
+  *  - double outputs either exact-by-construction (same IEEE expression
+  *    shape in both engines) or decimal-cast before aggregation;
+  *  - deterministic tie-breaks on every rank/top-k.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def g(spark: SparkSession): SparkSession = GraftSession.install(spark)
+
+  /** Flagship query on /root/testdata/sf0.001: polylabel over the reference
+    * fixtures joined (PIP) against synthetic points — exercises the kernel
+    * expression, the cell cover, and the staged spatial join in one plan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    g(spark)
+    val polys = GeoTables.syntheticPolygons(spark, 20).toDF
+    val points = GeoTables.syntheticPoints(spark, 5000).toDF
+    val labels = polys
+      .withColumn("label", polylabel(col("exterior"), col("holes"), col("tolerance")))
+      .select(col("poly_id"), col("label.x").as("label_x"),
+        col("label.y").as("label_y"), col("label.dist").as("label_dist"))
+    SpatialJoins.pipJoin(points, polys, level = 9)
+      .join(labels, "poly_id")
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("points_inside"),
+        first("label_x").as("label_x"), first("label_y").as("label_y"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- kernel surface (E5): exact fixture outputs -------------------
+    "q_polylabel_fixtures" -> ((s, _) => {
+      g(s)
+      GeoTables.fixtures(s)
+        .withColumn("label", polylabel(col("exterior"), col("holes"), col("tolerance")))
+        .select(col("poly_id"), col("label.x").as("x"), col("label.y").as("y"))
+        .orderBy("poly_id")
+    }),
+
+    // ---- cell index (E6): quadkey encode over derived points ----------
+    "q_cell_of" -> ((s, dir) => {
+      g(s)
+      t(s, dir, "lineitem")
+        .withColumn("x", (col("l_orderkey") % 3600) / 10.0 - 180.0)
+        .withColumn("y", (col("l_partkey") % 1800) / 10.0 - 90.0)
+        .withColumn("cell_id", cell_of(col("x"), col("y"), lit(12)))
+        .withColumn("parent_id", cell_parent(col("cell_id")))
+        .groupBy("cell_id", "parent_id")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cell_id")
+    }),
+
+    // ---- polygon cover (E6) over rectangles (SQL-checkable exactly) ---
+    "q_cover_rect" -> ((s, dir) => {
+      g(s)
+      rectPolys(s, dir)
+        .withColumn("cell_id", explode(polygon_cover(col("exterior"), col("holes"), lit(8))))
+        .select(col("poly_id"), col("cell_id"))
+        .orderBy("poly_id", "cell_id")
+    }),
+
+    // ---- PIP spatial join (E7) -----------------------------------------
+    "q_pip_join" -> ((s, dir) => {
+      g(s)
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey").as("point_id"),
+          ((col("o_orderkey") % 360) / 10.0 - 18.0).as("x"),
+          ((col("o_custkey") % 180) / 10.0 - 9.0).as("y"))
+      SpatialJoins.pipJoin(points, rectPolys(s, dir), level = 8)
+        .select(col("point_id"), col("poly_id"))
+        .orderBy("point_id", "poly_id")
+    }),
+
+    // ---- kNN join via cell-ring expansion (E9) -------------------------
+    "q_knn_join" -> ((s, dir) => {
+      g(s)
+      val points = t(s, dir, "customer")
+        .select(col("c_custkey").as("point_id"),
+          ((col("c_custkey") % 360) / 10.0 - 18.0).as("x"),
+          ((col("c_custkey") * 7 % 180) / 10.0 - 9.0).as("y"))
+      val labels = t(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
+          ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
+          ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
+      SpatialJoins.knnJoin(points, labels, k = 3, level = 7)
+        .select(col("point_id"), col("poly_id"), col("rank"))
+        .orderBy("point_id", "rank")
+    }),
+
+    // ---- aggregation (E12): TPC-H Q1 shape, decimal-exact sums ---------
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,3)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,3)")).as("sum_base"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- multi-way join + top-k window (E13) ----------------------------
+    "q_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,3)").as("price"))
+        .orderBy("c_mktsegment", "rk")
+    }),
+
+    // ---- anti join (E14/E15 resume shape) -------------------------------
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- event-time tumbling window agg (E17 batch shape) ---------------
+    "q_events_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("bucket", (floor(unix_timestamp(col("ts")) / 300L) * 300L))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy("bucket", "event_type")
+    }))
+
+  /** Deterministic rectangle "polygons" derived from `part` — the
+    * SQL-expressible polygon family used by the join oracles. Corners at
+    * x.x5 offsets so no derived point ever lands exactly on an edge.
+    */
+  private def rectPolys(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+      .withColumn("cx", (col("p_partkey") % 360) / 10.0 - 18.0)
+      .withColumn("cy", (col("p_partkey") * 7 % 180) / 10.0 - 9.0)
+      .withColumn("hw", (col("p_size") % 10 + 1) / 10.0 + 0.05)
+      .withColumn("hh", (col("p_size") * 3 % 10 + 1) / 10.0 + 0.05)
+    p.select(
+      concat(lit("r"), col("p_partkey")).as("poly_id"),
+      array(
+        struct((col("cx") - col("hw")).as("x"), (col("cy") - col("hh")).as("y")),
+        struct((col("cx") + col("hw")).as("x"), (col("cy") - col("hh")).as("y")),
+        struct((col("cx") + col("hw")).as("x"), (col("cy") + col("hh")).as("y")),
+        struct((col("cx") - col("hw")).as("x"), (col("cy") + col("hh")).as("y")),
+        struct((col("cx") - col("hw")).as("x"), (col("cy") - col("hh")).as("y"))
+      ).as("exterior"),
+      lit(null).cast(graft.functions.GeomEncoding.holesType).as("holes"),
+      lit(0.01).as("tolerance"))
+  }
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Geometry oracles re-derive the quadkey bit
+    * math inline; see OracleSql for the shared fragments.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registry + Column API for the graft geometry expressions. Spark-first
+  * surface: every function is a native Catalyst `Expression` (not a Scala
+  * UDF), registered both into the session FunctionRegistry (for
+  * `spark.sql`) and exposed as `Column` helpers (for the DataFrame API).
+  */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "polylabel" -> (e => PolylabelExpr(e(0), e(1), e(2))),
+    "cell_of" -> (e => CellOfExpr(e(0), e(1), e(2))),
+    "cell_parent" -> (e => CellParentExpr(e(0))),
+    "cell_kring" -> (e => CellKRingExpr(e(0), e(1))),
+    "polygon_cover" -> (e => PolygonCoverExpr(e(0), e(1), e(2))),
+    "pip" -> (e => PipExpr(e(0), e(1), e(2), e(3))),
+    "signed_dist" -> (e => SignedDistExpr(e(0), e(1), e(2), e(3))),
+    "geojson_polygon" -> (e => GeoJsonPolygonExpr(e(0))))
+
+  /** Idempotent registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  // DataFrame Column API
+  def polylabel(exterior: Column, holes: Column, tolerance: Column): Column =
+    call_function("polylabel", exterior, holes, tolerance)
+  def cell_of(x: Column, y: Column, level: Column): Column =
+    call_function("cell_of", x, y, level)
+  def cell_parent(cell: Column): Column = call_function("cell_parent", cell)
+  def cell_kring(cell: Column, k: Column): Column = call_function("cell_kring", cell, k)
+  def polygon_cover(exterior: Column, holes: Column, level: Column): Column =
+    call_function("polygon_cover", exterior, holes, level)
+  def pip(x: Column, y: Column, exterior: Column, holes: Column): Column =
+    call_function("pip", x, y, exterior, holes)
+  def signed_dist(x: Column, y: Column, exterior: Column, holes: Column): Column =
+    call_function("signed_dist", x, y, exterior, holes)
+  def geojson_polygon(s: Column): Column = call_function("geojson_polygon", s)
+}
+
+/** `SparkSessionExtensions` hook so `--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions` registers everything on a plain
+  * spark-submit without touching user code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.geom._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Row types for the geometry tables (FIXTURES.md §3). */
+final case class PtRow(x: Double, y: Double)
+final case class PolyRow(poly_id: String, exterior: Seq[PtRow],
+                         holes: Seq[Seq[PtRow]], tolerance: Double)
+final case class PointRow(point_id: Long, x: Double, y: Double)
+
+/** Geometry table sources: the reference fixtures as a `polygons` table,
+  * plus deterministic synthetic polygons/points (seeded, no external data)
+  * for join correctness oracles and scale benchmarks.
+  */
+object GeoTables {
+
+  private def toRow(name: String, p: PolygonG, tol: Double): PolyRow =
+    PolyRow(name,
+      p.exterior.xs.indices.map(i => PtRow(p.exterior.xs(i), p.exterior.ys(i))),
+      p.holes.toSeq.map(h => h.xs.indices.map(i => PtRow(h.xs(i), h.ys(i)))),
+      tol)
+
+  /** The nine reference fixtures as a DataFrame. */
+  def fixtures(spark: SparkSession): Dataset[PolyRow] = {
+    import spark.implicits._
+    Fixtures.all.map { case (n, p, t) => toRow(n, p, t) }.toDS()
+  }
+
+  /** Deterministic star-convex polygon around (cx, cy): `n` vertices at
+    * seeded radii — always simple, non-degenerate, label computable.
+    */
+  def syntheticPolygon(id: Long, cx: Double, cy: Double, radius: Double,
+                       nVertices: Int): PolygonG = {
+    val rng = new scala.util.Random(0x9E3779B97F4A7C15L ^ id)
+    val pts = (0 until nVertices).map { i =>
+      val ang = 2.0 * math.Pi * i / nVertices
+      val r = radius * (0.4 + 0.6 * rng.nextDouble())
+      (cx + r * math.cos(ang), cy + r * math.sin(ang))
+    }
+    PolygonG(pts)
+  }
+
+  /** `n` synthetic polygons scattered deterministically over a lon/lat
+    * window; vertex counts cycle through small..large so the workload has
+    * size skew like real map data.
+    */
+  def syntheticPolygons(spark: SparkSession, n: Int, seed: Long = 42L,
+                        minX: Double = -20.0, minY: Double = 30.0,
+                        spanX: Double = 40.0, spanY: Double = 30.0): Dataset[PolyRow] = {
+    import spark.implicits._
+    val ids = spark.range(n.toLong)
+    ids.mapPartitions { it =>
+      it.map { boxed =>
+        val id = boxed.longValue
+        val rng = new scala.util.Random(seed ^ (id * 0x5DEECE66DL + 0xBL))
+        val cx = minX + rng.nextDouble() * spanX
+        val cy = minY + rng.nextDouble() * spanY
+        val radius = 0.05 + rng.nextDouble() * 0.8
+        val nv = Seq(6, 12, 24, 48, 96, 512)(rng.nextInt(6))
+        val p = syntheticPolygon(id, cx, cy, radius, nv)
+        toRow(s"poly-$id", p, 0.01)
+      }
+    }
+  }
+
+  /** `n` deterministic points over the same window (join probe side). */
+  def syntheticPoints(spark: SparkSession, n: Long, seed: Long = 7L,
+                      minX: Double = -20.0, minY: Double = 30.0,
+                      spanX: Double = 40.0, spanY: Double = 30.0): Dataset[PointRow] = {
+    import spark.implicits._
+    spark.range(n).mapPartitions { it =>
+      it.map { boxed =>
+        val id = boxed.longValue
+        val rng = new scala.util.Random(seed ^ (id * 0x5DEECE66DL + 0xBL))
+        PointRow(id, minX + rng.nextDouble() * spanX, minY + rng.nextDouble() * spanY)
+      }
+    }
+  }
+
+  /** PolyRow -> kernel polygon (driver-side tests / oracles). */
+  def toPolygon(r: PolyRow): PolygonG =
+    new PolygonG(Ring(r.exterior.map(p => (p.x, p.y))),
+      r.holes.map(h => Ring(h.map(p => (p.x, p.y)))).toArray)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.functions.GraftFunctions._
+import graft.sources.GeoTables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Join correctness against brute-force oracles (SURVEY.md §5.2 item 3). */
+class SpatialJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val polys = GeoTables.syntheticPolygons(spark, 25).toDF.cache()
+  private lazy val points = GeoTables.syntheticPoints(spark, 2000).toDF.cache()
+
+  test("pipJoin == brute-force cross-join PIP at several levels") {
+    val brute = points.crossJoin(polys)
+      .where(pip($"x", $"y", $"exterior", $"holes"))
+      .select($"point_id", $"poly_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(brute.nonEmpty, "oracle must produce matches for the test to mean anything")
+    for (level <- Seq(6, 9, 12); bcast <- Seq(true, false)) {
+      val got = SpatialJoins.pipJoin(points, polys, level, bcast)
+        .select($"point_id", $"poly_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === brute, s"level=$level broadcast=$bcast")
+    }
+  }
+
+  test("pipJoinSalted == brute force") {
+    val brute = points.crossJoin(polys)
+      .where(pip($"x", $"y", $"exterior", $"holes"))
+      .select($"point_id", $"poly_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = SpatialJoins.pipJoinSalted(points, polys, 9, salt = 4)
+      .select($"point_id", $"poly_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === brute)
+  }
+
+  test("knnJoin == brute-force kNN (k=3)") {
+    val labels = polys
+      .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+      .cache()
+    val k = 3
+    val w = Window.partitionBy("point_id").orderBy($"d2", $"poly_id")
+    val brute = points.crossJoin(labels)
+      .withColumn("d2", ($"x" - $"lx") * ($"x" - $"lx") + ($"y" - $"ly") * ($"y" - $"ly"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    val got = SpatialJoins.knnJoin(points, labels, k, level = 8)
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === brute)
+  }
+
+  test("knnJoin resolves every point exactly k times") {
+    val labels = polys
+      .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+    val got = SpatialJoins.knnJoin(points.limit(300), labels, 2, level = 10)
+    val counts = got.groupBy("point_id").count().select("count").distinct().collect()
+    assert(counts.map(_.getLong(0)).toSet === Set(2L))
+    assert(got.select("point_id").distinct().count() === 300)
+  }
+}
