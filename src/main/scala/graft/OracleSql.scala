@@ -156,6 +156,32 @@ object OracleSql {
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
+    "q_tile_assign" ->
+      s"""WITH imgs AS (
+         |  SELECT t.range AS id,
+         |         'img-' || lpad(CAST(t.range AS VARCHAR), 8, '0') AS image_id,
+         |         (2 + (t.range % 3)) AS nx,
+         |         (2 + ((t.range // 3) % 3)) AS ny,
+         |         (-20.0 + (t.range * 7919 % 3900) / 100.0) AS fx0,
+         |         (30.0 + (t.range * 104729 % 2900) / 100.0) AS fy0,
+         |         (0.1 + (t.range * 13 % 90) / 100.0) AS wdeg,
+         |         (0.1 + (t.range * 29 % 90) / 100.0) AS hdeg
+         |  FROM range(0, 240) t),
+         |tiles AS (
+         |  SELECT image_id, CAST(tx.range AS INT) AS tile_ix, CAST(ty.range AS INT) AS tile_iy,
+         |         (fx0 + (tx.range + 0.5) * (wdeg / nx)) AS cx,
+         |         ((fy0 + hdeg) - (ty.range + 0.5) * (hdeg / ny)) AS cy
+         |  FROM imgs
+         |  JOIN range(0, 4) tx ON tx.range < nx
+         |  JOIN range(0, 4) ty ON ty.range < ny),
+         |ij AS (
+         |  SELECT image_id, tile_ix, tile_iy,
+         |         ${gridIx("cx", -180.0, 360.0, 12)} AS ix,
+         |         ${gridIx("cy", -90.0, 180.0, 12)} AS iy
+         |  FROM tiles)
+         |SELECT image_id, tile_ix, tile_iy, ${cellId("ix", "iy", 12)} AS cell_id
+         |FROM ij ORDER BY image_id, tile_ix, tile_iy""".stripMargin,
+
     "q_events_window" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
         |       event_type,

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.SpatialJoins
+import graft.operators.{SpatialJoins, Tiling}
 import graft.sources.GeoTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -138,6 +138,19 @@ object SparkEntry {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy("c_custkey")
+    }),
+
+    // ---- raster->vector tiling + cell assignment (E10, north_star) -----
+    // The full image pipeline: synth images -> decode -> 32x32 tiles ->
+    // re-encode -> footprint subdivision -> polylabel of each tile's
+    // footprint -> containing cell. The oracle re-derives footprint math +
+    // quadkey encoding in SQL (pixels don't affect assignments).
+    "q_tile_assign" -> ((s, _) => {
+      g(s)
+      val images = graft.sources.Images.table(s, 240)
+      Tiling.assign(Tiling.tile(images), level = 12)
+        .select(col("image_id"), col("tile_ix"), col("tile_iy"), col("cell_id"))
+        .orderBy("image_id", "tile_ix", "tile_iy")
     }),
 
     // ---- event-time tumbling window agg (E17 batch shape) ---------------
