@@ -46,6 +46,43 @@ object OracleSql {
     .map { case (n, x, y) => s"('$n', CAST('$x' AS DOUBLE), CAST('$y' AS DOUBLE))" }
     .mkString(", ")
 
+  /** Positional codepoint packing of a token (= TextOps.tokenInt). */
+  private def tokenInt(c: String): String =
+    (0 until 8).map { k =>
+      s"CAST(ascii(substr($c, ${k + 1}, 1)) AS BIGINT) * ${math.pow(131.0, k).toLong}"
+    }.mkString(" + ")
+
+  /** Token stream with ordinal (constant-bound range + filter — DuckDB's
+    * range() can't be laterally correlated).
+    */
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, CAST(t.range AS INT) AS pos,
+      |         list_extract(string_split(text, ' '), CAST(t.range AS INT)) AS tok
+      |  FROM documents, range(1, 512) t
+      |  WHERE t.range <= len(string_split(text, ' ')))""".stripMargin
+
+  /** Distinct word-3-gram shingles per doc (= TextOps.shingles3). */
+  private val shinglesCte =
+    s"""$toksCte,
+       |shw AS (
+       |  SELECT doc_id, lang, tok,
+       |         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+       |         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+       |  FROM toks),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, lang, tok || ' ' || t2 || ' ' || t3 AS shingle
+       |  FROM shw WHERE t3 IS NOT NULL)""".stripMargin
+
+  /** Quantized embedding components (= Similarity.quantized); i is
+    * 0-based to match posexplode.
+    */
+  private val quantCte =
+    """qv AS (
+      |  SELECT vec_id, CAST(t.range AS INT) AS i,
+      |         CAST(round(CAST(embedding[CAST(t.range AS INT) + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+      |  FROM embeddings, range(0, 64) t)""".stripMargin
+
   private val rectCte =
     """rects AS (
       |  SELECT 'r' || p_partkey AS poly_id,
@@ -181,6 +218,170 @@ object OracleSql {
          |  FROM tiles)
          |SELECT image_id, tile_ix, tile_iy, ${cellId("ix", "iy", 12)} AS cell_id
          |FROM ij ORDER BY image_id, tile_ix, tile_iy""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n
+        |FROM documents GROUP BY text ORDER BY rep_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $shinglesCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b
+         |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter) AS uni
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH $shinglesCte,
+         |sints AS (
+         |  SELECT DISTINCT doc_id,
+         |    (((${tokenInt("list_extract(string_split(shingle, ' '), 1)")}) % 1000000007 * 31
+         |      + (${tokenInt("list_extract(string_split(shingle, ' '), 2)")}) % 1000000007) % 1000000007 * 31
+         |      + (${tokenInt("list_extract(string_split(shingle, ' '), 3)")}) % 1000000007) % 1000000007 AS s
+         |  FROM sh),
+         |params AS (
+         |  SELECT CAST(h.range AS INT) AS j,
+         |         (h.range * 2654435761 + 1) % 1000000007 AS a,
+         |         (h.range * 40503 + 7) % 1000000007 AS b
+         |  FROM range(0, 16) h),
+         |sig AS (
+         |  SELECT doc_id, j, min((a * s + b) % 1000000007) AS minh
+         |  FROM sints, params GROUP BY doc_id, j),
+         |banded AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |         sum(minh * (CASE j % 4 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791 ELSE 1 END)) AS band_key
+         |  FROM sig GROUP BY doc_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter) AS uni
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH $toksCte,
+         |th AS (
+         |  SELECT doc_id, ((${tokenInt("tok")}) % 1000000007) * 48271 % 65536 AS h
+         |  FROM toks),
+         |bits AS (
+         |  SELECT doc_id,
+         |         ${(0 until 16).map(b => s"sum(((h >> $b) % 2) * 2 - 1) AS s$b").mkString(", ")}
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id,
+         |       ${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH $toksCte,
+         |tk AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         CAST(sum(CAST(ceil(length(tok) / 4.0) AS BIGINT)) AS BIGINT) AS n_subwords,
+         |         CAST(sum(CASE WHEN tok IN ('the', 'a', 'of', 'and') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+         |  FROM toks GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |       tk.n_tokens, tk.n_subwords, tk.stop_hits
+         |FROM documents d JOIN tk ON d.doc_id = tk.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH $toksCte,
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS BIGINT) AS score_de,
+         |    CAST(sum(CASE WHEN tok IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+         |    CAST(sum(CASE WHEN tok IN ('el','la','de','y','es') THEN 1 ELSE 0 END) AS BIGINT) AS score_es,
+         |    CAST(sum(CASE WHEN tok IN ('le','la','de','et','est') THEN 1 ELSE 0 END) AS BIGINT) AS score_fr
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN score_de = greatest(score_de, score_en, score_es, score_fr)
+         |            AND greatest(score_de, score_en, score_es, score_fr) > 0 THEN 'de'
+         |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr)
+         |            AND greatest(score_de, score_en, score_es, score_fr) > 0 THEN 'en'
+         |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr)
+         |            AND greatest(score_de, score_en, score_es, score_fr) > 0 THEN 'es'
+         |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr)
+         |            AND greatest(score_de, score_en, score_es, score_fr) > 0 THEN 'fr'
+         |       ELSE 'und' END AS predicted,
+         |  score_de, score_en, score_es, score_fr
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |       CAST(sum(CAST(ascii(substr(text, CAST(k.range AS INT), 1)) AS BIGINT)
+        |           * ((k.range * 2654435761) % 65536)) % 1000000007 AS BIGINT) AS fp
+        |FROM documents, range(1, 65) k
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_embed_topk" ->
+      s"""WITH $quantCte,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+         |  FROM qv a JOIN qv b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, vec_id, dot,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM dots)
+         |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_ann" ->
+      s"""WITH $quantCte,
+         |wts AS (
+         |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
+         |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
+         |  FROM range(0, 8) j, range(0, 64) i),
+         |proj AS (
+         |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
+         |  FROM qv JOIN wts ON qv.i = wts.i
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket
+         |    AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         |dots AS (
+         |  SELECT c.query_id, c.vec_id, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qv qa ON qa.vec_id = c.query_id
+         |  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, vec_id, dot,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM dots)
+         |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH $quantCte,
+         |ql AS (SELECT qv.*, e.label FROM qv JOIN embeddings e USING (vec_id)),
+         |n AS (SELECT vec_id, sum(q * q) AS n2 FROM qv GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+         |  FROM ql a JOIN ql b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT vec_a, vec_b, dot
+         |FROM dots JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+         |WHERE dot > 0 AND dot * dot * 10000 >= 900 * na.n2 * nb.n2
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_events_window" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{SpatialJoins, Tiling}
+import graft.operators.{Dedup, Similarity, SpatialJoins, TextOps, Tiling}
 import graft.sources.GeoTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -152,6 +152,52 @@ object SparkEntry {
         .select(col("image_id"), col("tile_ix"), col("tile_iy"), col("cell_id"))
         .orderBy("image_id", "tile_ix", "tile_iy")
     }),
+
+    // ---- training-pipeline: deduplication ------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("rep_id")),
+
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), num = 1, den = 2)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), numHashes = 16,
+        rowsPerBand = 4, num = 1, den = 2).orderBy("doc_a", "doc_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // phash groups over the synthetic images (pixel-derived — no SQL
+    // oracle possible; driver rows-only check + ScalaTest golden)
+    "q_phash_groups" -> ((s, _) => {
+      Dedup.phashGroups(graft.sources.Images.table(s, 240).toDF)
+        .select(col("phash"), col("n"), concat_ws(",", col("ids")).as("ids"))
+        .orderBy("phash")
+    }),
+
+    // ---- training-pipeline: text analysis ------------------------------
+    "q_text_quality" -> ((s, dir) =>
+      TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // ---- training-pipeline: similarity search --------------------------
+    "q_embed_topk" -> ((s, dir) =>
+      Similarity.bruteTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3)
+        .orderBy("query_id", "rank")),
+
+    "q_embed_ann" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3)
+        .orderBy("query_id", "rank")),
+
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), tau2x10000 = 900)
+        .orderBy("vec_a", "vec_b")),
 
     // ---- event-time tumbling window agg (E17 batch shape) ---------------
     "q_events_window" -> ((s, dir) => {

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force top-k as the correctness baseline, sign-LSH bucketing as
+  * the scale path, plus blocked near-duplicate pairs.
+  *
+  * All scoring is on QUANTIZED integer vectors (round(v*1000)): integer
+  * dot products are order-independent and exact, so rankings are
+  * bit-reproducible by any engine — and at 100 TB the quantized path is
+  * also the cheap one (int64 multiply-adds, dense shuffles, no float
+  * reduction-order nondeterminism across partitions).
+  */
+object Similarity {
+
+  /** (vec_id, i [0-based], q) quantized component stream. */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("i"),
+        round(col("col").cast("double") * 1000.0, 0).cast("long").as("q"))
+
+  /** Exact top-k by integer dot product for the `nQueries` lowest vec_ids
+    * against the whole table. Output: (query_id, vec_id, dot, rank).
+    */
+  def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = quantized(embeddings).cache()
+    val queries = q.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("i"), col("q").as("qa"))
+    val data = q.select(col("vec_id"), col("i"), col("q").as("qb"))
+    val dots = queries.join(data, "i")
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic integer hyperplane component w(j, i): closed form so
+    * any engine derives the same planes.
+    */
+  def planeWeight(j: Int, dim: Int) =
+    (i: Int) => ((j.toLong * dim + i) * 2654435761L % 2001L) - 1000L
+
+  /** Sign-LSH bucket per vector: bit j = (sum_i q_i * w(j,i)) > 0.
+    * Returns (vec_id, bucket).
+    */
+  def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val w = (for (j <- 0 until planes; i <- 0 until dim)
+      yield (j, i, planeWeight(j, dim)(i))).toDF("j", "i", "w")
+    val bits = quantized(embeddings)
+      .join(broadcast(w), "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("q") * col("w")).as("proj"))
+      .withColumn("bit", when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+    bits.groupBy("vec_id").agg(sum("bit").as("bucket"))
+  }
+
+  /** ANN top-k: candidates share the query's LSH bucket; exact integer
+    * dot re-ranks within the bucket. Output (query_id, vec_id, dot, rank).
+    * The scale path: bucket join instead of all-pairs.
+    */
+  def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val buckets = lshBuckets(embeddings, planes, dim).cache()
+    val q = quantized(embeddings).cache()
+    val queries = buckets.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val candPairs = queries.join(buckets, "bucket")
+      .where(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val dots = candPairs
+      .join(q.select(col("vec_id").as("query_id"), col("i"), col("q").as("qa")),
+        Seq("query_id"))
+      .join(q.select(col("vec_id"), col("i"), col("q").as("qb")), Seq("vec_id", "i"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs within a blocking label: cosine >= tau via the
+    * integer cross-multiplication dot^2 * 10000 >= tau2x10000 * |a|^2 *
+    * |b|^2 (dot > 0). Output (vec_a, vec_b, dot).
+    */
+  def nearDupPairs(embeddings: DataFrame, tau2x10000: Int): DataFrame = {
+    val q = quantized(embeddings)
+      .join(embeddings.select("vec_id", "label"), "vec_id").cache()
+    val norms = q.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+    val a = q.select(col("vec_id").as("vec_a"), col("label"), col("i"), col("q").as("qa"))
+    val b = q.select(col("vec_id").as("vec_b"), col("label"), col("i"), col("q").as("qb"))
+    val dots = a.join(b, Seq("label", "i"))
+      .where(col("vec_a") < col("vec_b"))
+      .groupBy("vec_a", "vec_b")
+      .agg(sum(col("qa") * col("qb")).as("dot"))
+    dots
+      .join(norms.select(col("vec_id").as("vec_a"), col("n2").as("na2")), "vec_a")
+      .join(norms.select(col("vec_id").as("vec_b"), col("n2").as("nb2")), "vec_b")
+      .where(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >= lit(tau2x10000.toLong) * col("na2") * col("nb2"))
+      .select("vec_a", "vec_b", "dot")
+  }
+}

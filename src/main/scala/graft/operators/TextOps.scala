@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenisation,
+  * shingling, quality scoring, language id, fingerprinting. Everything is
+  * integer-exact (modular arithmetic over codepoints) so results are
+  * reproducible bit-for-bit by any SQL engine — and everything is
+  * relational (explode + window + join), the shapes that scale: token and
+  * shingle streams shuffle on small keys, aggregates are partial+final.
+  */
+object TextOps {
+
+  final val P = 1000000007L
+
+  /** Integer encoding of a short token: positional codepoint packing over
+    * the first 8 chars, base 131 (ascii of out-of-range substring is 0).
+    */
+  def tokenInt(c: Column): Column =
+    (0 until 8).map { k =>
+      ascii(substring(c, k + 1, 1)).cast("long") * lit(math.pow(131.0, k).toLong)
+    }.reduce(_ + _)
+
+  /** (doc_id, pos [1-based], tok) token stream. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+
+  /** Distinct word-3-gram shingles per document, with the doc's blocking
+    * key (`lang`) carried through.
+    */
+  def shingles3(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    tokens(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("t2", lead("tok", 1).over(w))
+      .withColumn("t3", lead("tok", 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+      .distinct()
+  }
+
+  /** Modular integer id of a shingle (for MinHash): fold the three token
+    * ints base 31 mod P.
+    */
+  def shingleInt(shingle: Column): Column = {
+    val parts = split(shingle, " ")
+    val t1 = tokenInt(element_at(parts, 1)) % P
+    val t2 = tokenInt(element_at(parts, 2)) % P
+    val t3 = tokenInt(element_at(parts, 3)) % P
+    ((t1 * 31L + t2) % P * 31L + t3) % P
+  }
+
+  /** Per-document quality metrics, all integers:
+    * n_chars, n_tokens, stop_hits (occurrences of marker stopwords),
+    * n_subwords (BPE-ish upper bound: ceil(len/4) per token).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(ceil(length(col("tok")) / 4.0).cast("long")).as("n_subwords"),
+        sum(when(col("tok").isin("the", "a", "of", "and"), 1L).otherwise(0L)).as("stop_hits"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(toks, "doc_id")
+  }
+
+  /** Marker-stopword language id: score each candidate language by marker
+    * token hits; predict the argmax (ties broken by language code). This is
+    * the classic n-gram/stopword heuristic in relational form.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      sum(when(col("tok").isin(markers: _*), 1L).otherwise(0L)).as(s"score_$lang")
+    }
+    val scored = toks.groupBy("doc_id").agg(scores.head, scores.tail: _*)
+    // argmax with deterministic tie-break on language order en < de? use
+    // explicit cascade: greatest + case, ties resolved alphabetically
+    val langs = langMarkers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val predicted = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("predicted", predicted)
+      .select(Seq(col("doc_id"), col("predicted")) ++ langs.map(l => col(s"score_$l")): _*)
+  }
+
+  /** Positional fingerprint over the first 64 chars:
+    * sum_k ascii(text[k]) * ((k*2654435761) mod 65536), mod P.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(sequence(lit(1), lit(64))).as("k"), col("text"))
+      .select(col("doc_id"),
+        (ascii(col("text").substr(col("k"), lit(1))).cast("long") *
+          ((col("k").cast("long") * 2654435761L) % 65536L)).as("term"))
+      .groupBy("doc_id")
+      .agg((sum("term") % P).as("fp"))
+}

@@ -119,7 +119,10 @@ object Images {
     * phash-dedup operator).
     */
   def row(id: Long): ImageRow = {
-    val renderId = if (id % 17 == 16) id - 1 else id // planted near-dupes
+    // planted duplicates: every 17th image re-renders the image 9 back —
+    // distance 9 preserves both closed-form dimensions (id mod 3 and
+    // (id/3) mod 3), so the pixel fields (and hence phash) are identical
+    val renderId = if (id % 17 == 16 && id >= 9) id - 9 else id
     val w = widthOf(id)
     val h = heightOf(id)
     val fmt = fmtOf(id)

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.TestSpark
+import graft.sources.Images
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-pipeline operators: semantics the DuckDB oracles can't reach —
+  * pixel-derived phash groups, LSH recall against all-pairs truth,
+  * driver-side brute-force for quantized top-k.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def embeddings = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("phashGroups surfaces the planted mod-17 image duplicates") {
+    val images = Images.table(spark, 120).toDF.cache()
+    val groups = Dedup.phashGroups(images).collect()
+    assert(groups.nonEmpty, "planted duplicates must form phash groups")
+    // every planted pair (id-9, id) with id%17==16 shares pixels and phash
+    val planted = (9L until 120L).filter(i => i % 17 == 16)
+    val grouped = groups.flatMap(_.getAs[scala.collection.Seq[String]]("ids")).toSet
+    for (i <- planted) {
+      assert(grouped.contains(f"img-$i%08d") && grouped.contains(f"img-${i - 9}%08d"),
+        s"planted dup pair (${i - 9}, $i) missing")
+    }
+  }
+
+  test("minhash LSH finds exactly the all-pairs near-duplicates at tau=0.5") {
+    val lsh = Dedup.minhashLshPairs(docs, 16, 4, 1, 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = Dedup.ngramJaccardPairs(docs, 1, 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ngram pairs are blocked by lang; LSH is global, so LSH ⊇ within-lang truth
+    assert(allPairs.subsetOf(lsh),
+      s"LSH missed near-dup pairs: ${allPairs -- lsh}")
+  }
+
+  test("bruteTopK matches a driver-side exact computation") {
+    val got = Similarity.bruteTopK(embeddings, nQueries = 5, k = 3)
+      .select("query_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val vecs = embeddings.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(f => math.round(f.toDouble * 1000.0)).toArray }
+    val want = (for ((qid, qv) <- vecs if qid < 5) yield {
+      vecs.filter(_._1 != qid)
+        .map { case (vid, dv) => (vid, qv.zip(dv).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (vid, dot) => (-dot, vid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, _), ix) => (qid, vid, ix + 1) }
+    }).flatten.toSet
+    assert(got === want)
+  }
+
+  test("annTopK results are a rank-consistent subset of bucket candidates") {
+    val ann = Similarity.annTopK(embeddings, nQueries = 5, k = 3).collect()
+    assert(ann.nonEmpty)
+    val byQuery = ann.groupBy(_.getAs[Long]("query_id"))
+    for ((_, rows) <- byQuery) {
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted
+      assert(ranks === (1 to ranks.length)) // contiguous ranks
+      val dots = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("simhash: near-duplicate docs have small hamming distance") {
+    val near = Dedup.ngramJaccardPairs(docs, 1, 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(near.nonEmpty)
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((a, b) <- near) {
+      val ham = java.lang.Long.bitCount(sh(a) ^ sh(b))
+      assert(ham <= 4, s"near-dup pair ($a,$b) has hamming $ham > 4")
+    }
+  }
+
+  test("quality metrics are internally consistent") {
+    val q = TextOps.quality(docs).collect()
+    for (r <- q) {
+      assert(r.getAs[Long]("n_tokens") > 0)
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_tokens") * 2 - 1)
+    }
+  }
+}
