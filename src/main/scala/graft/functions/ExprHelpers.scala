@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.geom._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static entry points the generated (Janino) code calls — keeping every
+  * graft expression inside whole-stage codegen: the surrounding operators
+  * stay fused, and the expression itself is a monomorphic static call.
+  * Generated code references `graft.functions.ExprHelpers.<m>(...)`.
+  */
+object ExprHelpers {
+
+  def cellOf(x: Double, y: Double, level: Int): Long =
+    CellIndex.cellOf(x, y, level)
+
+  def cellParent(cell: Long): Long = CellIndex.parent(cell)
+
+  def kRing(cell: Long, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(CellIndex.kRing(cell, k))
+
+  def cover(ext: ArrayData, holes: ArrayData, level: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      CellIndex.cover(GeomEncoding.polygonFrom(ext, holes), level))
+
+  def pip(x: Double, y: Double, ext: ArrayData, holes: ArrayData): Boolean =
+    Geom.pointInPolygon(x, y, GeomEncoding.polygonFrom(ext, holes))
+
+  def signedDist(x: Double, y: Double, ext: ArrayData, holes: ArrayData): Double =
+    Polylabel.signedDistance(x, y,
+      Polylabel.prepare(GeomEncoding.polygonFrom(ext, holes)))
+
+  private val nanRow: InternalRow = {
+    val r = new GenericInternalRow(3)
+    r.setDouble(0, Double.NaN); r.setDouble(1, Double.NaN); r.setDouble(2, Double.NaN)
+    r
+  }
+
+  def polylabel(ext: ArrayData, holes: ArrayData, tolerance: Double): InternalRow =
+    try {
+      val r = Polylabel.polylabel(GeomEncoding.polygonFrom(ext, holes), tolerance)
+      val row = new GenericInternalRow(3)
+      row.setDouble(0, r.x); row.setDouble(1, r.y); row.setDouble(2, r.dist)
+      row
+    } catch {
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+           _: NullPointerException => nanRow
+    }
+}

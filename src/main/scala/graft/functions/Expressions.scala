@@ -2,18 +2,27 @@ package graft.functions
 
 import graft.geom._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
 /** Column encodings shared by all graft geometry expressions:
-  *   point     struct<x: double, y: double>
-  *   ring      array<struct<x: double, y: double>>       (closed or not — auto-closed)
-  *   holes     array<array<struct<x: double, y: double>>>
+  * {{{
+  *   point  struct<x: double, y: double>
+  *   ring   array<struct<x: double, y: double>>    (closed or not — auto-closed)
+  *   holes  array<array<struct<x: double, y: double>>>
+  * }}}
   * mirroring the reference FFI's nested-array ABI
   * (/root/reference/src/ffi.rs:12-24) as Spark nested types.
+  *
+  * Every expression here implements `doGenCode` as a static call into
+  * graft.functions.ExprHelpers, so the surrounding stage STAYS inside
+  * whole-stage codegen (a CodegenFallback expression would force the whole
+  * stage into interpreted projection — measured in PlanSpec).
   */
 object GeomEncoding {
   val pointType: StructType =
@@ -53,45 +62,77 @@ object GeomEncoding {
   }
 }
 
+/** Shared codegen for the (x?, y?, exterior, holes, extra?) expressions
+  * with "null holes = no holes" semantics: null out iff a required child
+  * is null; holes evaluate to Java null when SQL-null.
+  */
+private[functions] trait PolygonCallCodegen { self: Expression =>
+  /** required children (null-propagating), in call order before holes */
+  protected def requiredChildren: Seq[Expression]
+  protected def holesChild: Expression
+  /** trailing required children AFTER holes in the helper's signature */
+  protected def trailingChildren: Seq[Expression] = Seq.empty
+  /** ExprHelpers method name */
+  protected def helperMethod: String
+
+  protected def genPolygonCall(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val req = requiredChildren.map(_.genCode(ctx))
+    val trail = trailingChildren.map(_.genCode(ctx))
+    val h = holesChild.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val default = CodeGenerator.defaultValue(dataType)
+    val nullCheck = (req ++ trail).map(g => s"${g.isNull}").mkString(" || ")
+    val argsBefore = req.map(_.value).mkString(", ")
+    val argsAfter = if (trail.isEmpty) "" else ", " + trail.map(_.value).mkString(", ")
+    val holesArg = s"(${h.isNull} ? null : ${h.value})"
+    ev.copy(code =
+      code"""
+        ${req.map(_.code).fold(EmptyBlock)(_ + _)}
+        ${trail.map(_.code).fold(EmptyBlock)(_ + _)}
+        boolean ${ev.isNull} = $nullCheck;
+        $javaType ${ev.value} = $default;
+        if (!${ev.isNull}) {
+          ${h.code}
+          ${ev.value} = graft.functions.ExprHelpers.$helperMethod(
+            $argsBefore, $holesArg$argsAfter);
+        }
+      """)
+  }
+
+  protected def evalHoles(input: InternalRow): ArrayData =
+    holesChild.eval(input).asInstanceOf[ArrayData]
+}
+
 /** `polylabel(exterior, holes, tolerance) -> struct<x, y, dist>`.
   *
   * The SQL surface of the kernel (SURVEY.md §2.1 K1/K13): any error —
   * malformed ring, non-positive tolerance — yields the (NaN, NaN, NaN)
   * sentinel, the same error collapse as the reference's C ABI
-  * (/root/reference/src/ffi.rs:78-80). Null inputs yield null.
-  * Deterministic; CodegenFallback (the kernel is a hand-written search
-  * loop — codegen would merely inline the same call).
+  * (/root/reference/src/ffi.rs:78-80). Null exterior/tolerance yield null;
+  * null holes mean "no holes". Deterministic.
   */
 case class PolylabelExpr(exterior: Expression, holes: Expression, tolerance: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression with PolygonCallCodegen {
   override def children: Seq[Expression] = Seq(exterior, holes, tolerance)
   override def dataType: DataType = GeomEncoding.labelType
   override def nullable: Boolean = true
   override def prettyName: String = "polylabel"
 
-  private val nanRow = {
-    val r = new GenericInternalRow(3)
-    r.setDouble(0, Double.NaN); r.setDouble(1, Double.NaN); r.setDouble(2, Double.NaN)
-    r
-  }
+  override protected def requiredChildren: Seq[Expression] = Seq(exterior)
+  override protected def holesChild: Expression = holes
+  override protected def trailingChildren: Seq[Expression] = Seq(tolerance)
+  override protected def helperMethod: String = "polylabel"
 
   override def eval(input: InternalRow): Any = {
     val ext = exterior.eval(input)
     val tol = tolerance.eval(input)
     if (ext == null || tol == null) return null
-    val hs = holes.eval(input) // null holes treated as no holes
-    try {
-      val poly = GeomEncoding.polygonFrom(ext.asInstanceOf[ArrayData],
-        hs.asInstanceOf[ArrayData])
-      val r = Polylabel.polylabel(poly, tol.asInstanceOf[Double])
-      val row = new GenericInternalRow(3)
-      row.setDouble(0, r.x); row.setDouble(1, r.y); row.setDouble(2, r.dist)
-      row
-    } catch {
-      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-           _: NullPointerException => nanRow
-    }
+    ExprHelpers.polylabel(ext.asInstanceOf[ArrayData], evalHoles(input),
+      tol.asInstanceOf[Double])
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genPolygonCall(ctx, ev)
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(exterior = c(0), holes = c(1), tolerance = c(2))
@@ -101,80 +142,80 @@ case class PolylabelExpr(exterior: Expression, holes: Expression, tolerance: Exp
   * (graft.geom.CellIndex). Null-safe: any null input -> null.
   */
 case class CellOfExpr(x: Expression, y: Expression, level: Expression)
-    extends Expression with CodegenFallback {
-  override def children: Seq[Expression] = Seq(x, y, level)
+    extends TernaryExpression {
+  override def first: Expression = x
+  override def second: Expression = y
+  override def third: Expression = level
   override def dataType: DataType = LongType
-  override def nullable: Boolean = x.nullable || y.nullable || level.nullable
   override def prettyName: String = "cell_of"
 
-  override def eval(input: InternalRow): Any = {
-    val xv = x.eval(input); val yv = y.eval(input); val lv = level.eval(input)
-    if (xv == null || yv == null || lv == null) null
-    else CellIndex.cellOf(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
-      lv.asInstanceOf[Int])
-  }
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    CellIndex.cellOf(a.asInstanceOf[Double], b.asInstanceOf[Double], c.asInstanceOf[Int])
 
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(x = c(0), y = c(1), level = c(2))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.functions.ExprHelpers.cellOf($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(x = f, y = s, level = t)
 }
 
 /** `cell_parent(cell) -> bigint`. */
-case class CellParentExpr(cell: Expression)
-    extends Expression with CodegenFallback {
-  override def children: Seq[Expression] = Seq(cell)
+case class CellParentExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = cell.nullable
   override def prettyName: String = "cell_parent"
 
-  override def eval(input: InternalRow): Any = {
-    val c = cell.eval(input)
-    if (c == null) null else CellIndex.parent(c.asInstanceOf[Long])
-  }
+  override protected def nullSafeEval(c: Any): Any =
+    CellIndex.parent(c.asInstanceOf[Long])
 
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(cell = c(0))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ExprHelpers.cellParent($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** `cell_kring(cell, k) -> array<bigint>` — all cells within Chebyshev
   * distance k (kNN candidate neighbourhood), sorted.
   */
-case class CellKRingExpr(cell: Expression, k: Expression)
-    extends Expression with CodegenFallback {
-  override def children: Seq[Expression] = Seq(cell, k)
+case class CellKRingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = cell.nullable || k.nullable
   override def prettyName: String = "cell_kring"
 
-  override def eval(input: InternalRow): Any = {
-    val c = cell.eval(input); val kv = k.eval(input)
-    if (c == null || kv == null) null
-    else UnsafeArrayData.fromPrimitiveArray(
-      CellIndex.kRing(c.asInstanceOf[Long], kv.asInstanceOf[Int]))
-  }
+  override protected def nullSafeEval(c: Any, k: Any): Any =
+    ExprHelpers.kRing(c.asInstanceOf[Long], k.asInstanceOf[Int])
 
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(cell = c(0), k = c(1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) => s"graft.functions.ExprHelpers.kRing($c, $k)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `polygon_cover(exterior, holes, level) -> array<bigint>` — exact set of
   * level-`level` cells intersecting the polygon (PIP-join prefilter).
   */
 case class PolygonCoverExpr(exterior: Expression, holes: Expression, level: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression with PolygonCallCodegen {
   override def children: Seq[Expression] = Seq(exterior, holes, level)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "polygon_cover"
 
+  override protected def requiredChildren: Seq[Expression] = Seq(exterior)
+  override protected def holesChild: Expression = holes
+  override protected def trailingChildren: Seq[Expression] = Seq(level)
+  override protected def helperMethod: String = "cover"
+
   override def eval(input: InternalRow): Any = {
     val ext = exterior.eval(input); val lv = level.eval(input)
     if (ext == null || lv == null) return null
-    val hs = holes.eval(input)
-    val poly = GeomEncoding.polygonFrom(ext.asInstanceOf[ArrayData],
-      hs.asInstanceOf[ArrayData])
-    UnsafeArrayData.fromPrimitiveArray(
-      CellIndex.cover(poly, lv.asInstanceOf[Int]))
+    ExprHelpers.cover(ext.asInstanceOf[ArrayData], evalHoles(input),
+      lv.asInstanceOf[Int])
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genPolygonCall(ctx, ev)
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(exterior = c(0), holes = c(1), level = c(2))
@@ -184,20 +225,25 @@ case class PolygonCoverExpr(exterior: Expression, holes: Expression, level: Expr
   * point-in-polygon (the refine predicate after the cell equi-join).
   */
 case class PipExpr(x: Expression, y: Expression, exterior: Expression, holes: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression with PolygonCallCodegen {
   override def children: Seq[Expression] = Seq(x, y, exterior, holes)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def prettyName: String = "pip"
 
+  override protected def requiredChildren: Seq[Expression] = Seq(x, y, exterior)
+  override protected def holesChild: Expression = holes
+  override protected def helperMethod: String = "pip"
+
   override def eval(input: InternalRow): Any = {
     val xv = x.eval(input); val yv = y.eval(input); val ext = exterior.eval(input)
     if (xv == null || yv == null || ext == null) return null
-    val hs = holes.eval(input)
-    val poly = GeomEncoding.polygonFrom(ext.asInstanceOf[ArrayData],
-      hs.asInstanceOf[ArrayData])
-    Geom.pointInPolygon(xv.asInstanceOf[Double], yv.asInstanceOf[Double], poly)
+    ExprHelpers.pip(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      ext.asInstanceOf[ArrayData], evalHoles(input))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genPolygonCall(ctx, ev)
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(x = c(0), y = c(1), exterior = c(2), holes = c(3))
@@ -207,21 +253,25 @@ case class PipExpr(x: Expression, y: Expression, exterior: Expression, holes: Ex
   * polygon outline (positive inside), the kNN-join refinement metric.
   */
 case class SignedDistExpr(x: Expression, y: Expression, exterior: Expression, holes: Expression)
-    extends Expression with CodegenFallback {
+    extends Expression with PolygonCallCodegen {
   override def children: Seq[Expression] = Seq(x, y, exterior, holes)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "signed_dist"
 
+  override protected def requiredChildren: Seq[Expression] = Seq(x, y, exterior)
+  override protected def holesChild: Expression = holes
+  override protected def helperMethod: String = "signedDist"
+
   override def eval(input: InternalRow): Any = {
     val xv = x.eval(input); val yv = y.eval(input); val ext = exterior.eval(input)
     if (xv == null || yv == null || ext == null) return null
-    val hs = holes.eval(input)
-    val poly = GeomEncoding.polygonFrom(ext.asInstanceOf[ArrayData],
-      hs.asInstanceOf[ArrayData])
-    Polylabel.signedDistance(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
-      Polylabel.prepare(poly))
+    ExprHelpers.signedDist(xv.asInstanceOf[Double], yv.asInstanceOf[Double],
+      ext.asInstanceOf[ArrayData], evalHoles(input))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    genPolygonCall(ctx, ev)
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(x = c(0), y = c(1), exterior = c(2), holes = c(3))
@@ -230,7 +280,8 @@ case class SignedDistExpr(x: Expression, y: Expression, exterior: Expression, ho
 /** `geojson_polygon(str) -> struct<exterior: ring, holes: array<ring>>` —
   * parse a GeoJSON `Polygon` geometry (or a Feature wrapping one), per the
   * reference's ell.geojson shape (/root/reference/ell.geojson:1-23).
-  * Malformed input -> null.
+  * Malformed input -> null. Parsing is cold-path (ingest), so this one
+  * stays CodegenFallback.
   */
 case class GeoJsonPolygonExpr(child: Expression)
     extends Expression with CodegenFallback {

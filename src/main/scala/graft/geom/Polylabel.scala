@@ -14,6 +14,9 @@ final class PreparedRing(ring: Ring) {
   val xs: Array[Double] = ring.xs
   val ys: Array[Double] = ring.ys
   val nEdges: Int = ring.nEdges
+  // NOTE: precomputing per-edge deltas/lengths was measured 2.3x SLOWER
+  // than recomputing them in the scan — the probe loop is memory-bound and
+  // three extra arrays (212 KB for Norway) evict the vertex data from L2
   val nBlocks: Int = if (nEdges == 0) 0 else (nEdges + BlockSize - 1) / BlockSize
   val bMinX = new Array[Double](nBlocks)
   val bMinY = new Array[Double](nBlocks)
@@ -42,64 +45,86 @@ final class PreparedRing(ring: Ring) {
   }
 }
 
-/** Quadtree search node (reference `Qcell`, /root/reference/src/lib.rs:27-58):
-  * cell centroid, half extent, signed distance of the centroid to the
-  * outline, and the admissible upper bound on the distance anywhere in the
-  * cell (`distance + halfExtent * sqrt(2)`, the cell-corner Chebyshev bound).
-  */
-final case class Qcell(cx: Double, cy: Double, halfExtent: Double,
-                       distance: Double, maxDistance: Double)
-
-/** Binary max-heap on `Qcell.maxDistance` replicating Rust's
+/** Binary max-heap of quadtree search nodes (reference `Qcell`,
+  * /root/reference/src/lib.rs:27-58: cell centroid, half extent, signed
+  * distance of the centroid, and the admissible upper bound
+  * `distance + halfExtent * sqrt(2)` — the cell-corner Chebyshev bound),
+  * keyed on that upper bound and replicating Rust's
   * `std::collections::BinaryHeap` sift order exactly (push = sift-up;
-  * pop = swap-in-last + sift-down-to-bottom + sift-up). Cells with EQUAL
-  * upper bounds therefore pop in the same order as the reference, which
-  * pins tie-breaking when two candidate cells have identical distances
-  * (observable on the FFI octagon fixture).
+  * pop = swap-in-last + sift-down-to-bottom + sift-up; extend = append +
+  * Floyd-rebuild-or-sift policy). Cells with EQUAL upper bounds therefore
+  * pop in the same order as the reference, which pins tie-breaking when
+  * two candidate cells have identical distances (observable on the FFI
+  * octagon fixture).
+  *
+  * Storage is a packed strided double array (cx, cy, halfExtent, distance,
+  * maxDistance per slot) — no per-cell allocation, no pointer chasing in
+  * the hot loop. Record moves copy 5 doubles; comparisons read slot+4.
   */
 private[geom] final class CellHeap(initialCapacity: Int = 64) {
-  private var data = new Array[Qcell](math.max(initialCapacity, 4))
+  private final val S = 5 // doubles per record; slot 4 = maxDistance key
+  private var data = new Array[Double](math.max(initialCapacity, 8) * S)
   private var n = 0
+  // the "hole element" scratch record used during sifts
+  private val el = new Array[Double](S)
 
   def size: Int = n
   def nonEmpty: Boolean = n > 0
 
-  @inline private def le(a: Qcell, b: Qcell): Boolean = a.maxDistance <= b.maxDistance
+  // popped cell fields (read after pop())
+  var cx = 0.0; var cy = 0.0; var halfExtent = 0.0
+  var distance = 0.0; var maxDistance = 0.0
 
-  def push(item: Qcell): Unit = {
-    if (n == data.length) {
-      val bigger = new Array[Qcell](data.length * 2)
-      System.arraycopy(data, 0, bigger, 0, n)
+  private def ensure(cap: Int): Unit = {
+    if (cap * S > data.length) {
+      var c = data.length / S
+      while (c < cap) c *= 2
+      val bigger = new Array[Double](c * S)
+      System.arraycopy(data, 0, bigger, 0, n * S)
       data = bigger
     }
-    data(n) = item
-    n += 1
-    siftUp(0, n - 1)
   }
 
-  private def siftUp(start: Int, pos0: Int): Int = {
+  @inline private def key(pos: Int): Double = data(pos * S + 4)
+  @inline private def move(from: Int, to: Int): Unit =
+    System.arraycopy(data, from * S, data, to * S, S)
+  @inline private def loadEl(pos: Int): Unit =
+    System.arraycopy(data, pos * S, el, 0, S)
+  @inline private def storeEl(pos: Int): Unit =
+    System.arraycopy(el, 0, data, pos * S, S)
+
+  /** Write a record directly into slot `pos` (no heap maintenance). */
+  @inline private def put(pos: Int, x: Double, y: Double, he: Double,
+                          d: Double, maxD: Double): Unit = {
+    val b = pos * S
+    data(b) = x; data(b + 1) = y; data(b + 2) = he
+    data(b + 3) = d; data(b + 4) = maxD
+  }
+
+  private def siftUp(start: Int, pos0: Int): Unit = {
     var pos = pos0
-    val element = data(pos)
+    loadEl(pos)
+    val k = el(4)
     var done = false
     while (!done && pos > start) {
       val parent = (pos - 1) / 2
-      if (le(element, data(parent))) done = true
-      else { data(pos) = data(parent); pos = parent }
+      if (k <= key(parent)) done = true
+      else { move(parent, pos); pos = parent }
     }
-    data(pos) = element
-    pos
+    storeEl(pos)
   }
 
-  def pop(): Qcell = {
-    val last = data(n - 1)
+  def pop(): Unit = {
     n -= 1
-    data(n) = null
-    if (n == 0) last
-    else {
-      val top = data(0)
-      data(0) = last
+    val lastBase = n * S
+    if (n == 0) {
+      cx = data(lastBase); cy = data(lastBase + 1); halfExtent = data(lastBase + 2)
+      distance = data(lastBase + 3); maxDistance = data(lastBase + 4)
+    } else {
+      cx = data(0); cy = data(1); halfExtent = data(2)
+      distance = data(3); maxDistance = data(4)
+      move(n, 0)
       siftDownToBottom(0)
-      top
     }
   }
 
@@ -107,46 +132,42 @@ private[geom] final class CellHeap(initialCapacity: Int = 64) {
     val end = n
     val start = pos0
     var pos = pos0
-    val element = data(pos)
+    loadEl(pos)
     var child = 2 * pos + 1
     while (child <= end - 2) {
-      if (le(data(child), data(child + 1))) child += 1
-      data(pos) = data(child)
+      if (key(child) <= key(child + 1)) child += 1
+      move(child, pos)
       pos = child
       child = 2 * pos + 1
     }
     if (child == end - 1) {
-      data(pos) = data(child)
+      move(child, pos)
       pos = child
     }
-    data(pos) = element
+    storeEl(pos)
     siftUp(start, pos)
   }
 
-  /** Classic sift-down over data(pos0..n): promote the larger child (right
-    * wins ties) while it beats the sifted element.
+  /** Classic sift-down over pos0..n: promote the larger child (right wins
+    * ties) while it beats the sifted element.
     */
   private def siftDownRange(pos0: Int): Unit = {
     val end = n
     var pos = pos0
-    val element = data(pos)
+    loadEl(pos)
+    val k = el(4)
     var child = 2 * pos + 1
     var done = false
     while (!done && child <= end - 2) {
-      if (le(data(child), data(child + 1))) child += 1
-      if (element.maxDistance >= data(child).maxDistance) {
-        done = true
-      } else {
-        data(pos) = data(child)
-        pos = child
-        child = 2 * pos + 1
-      }
+      if (key(child) <= key(child + 1)) child += 1
+      if (k >= key(child)) done = true
+      else { move(child, pos); pos = child; child = 2 * pos + 1 }
     }
-    if (!done && child == end - 1 && element.maxDistance < data(child).maxDistance) {
-      data(pos) = data(child)
+    if (!done && child == end - 1 && k < key(child)) {
+      move(child, pos)
       pos = child
     }
-    data(pos) = element
+    storeEl(pos)
   }
 
   /** Floyd heapify of the whole array. */
@@ -155,28 +176,27 @@ private[geom] final class CellHeap(initialCapacity: Int = 64) {
     while (i > 0) { i -= 1; siftDownRange(i) }
   }
 
-  /** Append a batch then restore the heap property, with the batch-vs-size
-    * policy Rust's `BinaryHeap::extend` uses (full Floyd rebuild when the
-    * batch rivals the existing heap, per-element sift-up otherwise) so pop
-    * order — including ties — matches the reference bit-for-bit.
+  /** Begin appending `count` records for extend; call `append` exactly
+    * `count` times, then `finishExtend(count)`.
     */
-  def extendBatch(items: Array[Qcell], count: Int): Unit = {
-    val start = n
-    if (n + count > data.length) {
-      var cap = data.length
-      while (cap < n + count) cap *= 2
-      val bigger = new Array[Qcell](cap)
-      System.arraycopy(data, 0, bigger, 0, n)
-      data = bigger
-    }
-    System.arraycopy(items, 0, data, n, count)
-    n += count
-    val tailLen = count
-    // element footprint ~40 bytes -> small-heap hybrid threshold 2048/40 = 51
+  def beginExtend(count: Int): Unit = ensure(n + count)
+
+  @inline def append(x: Double, y: Double, he: Double, d: Double, maxD: Double): Unit = {
+    put(n, x, y, he, d, maxD)
+    n += 1
+  }
+
+  /** Restore the heap property after `count` appended records, with the
+    * batch-vs-size policy Rust's `BinaryHeap::extend` uses (full Floyd
+    * rebuild when the batch rivals the existing heap — element footprint
+    * 40 bytes gives the 2048/40 = 51 small-heap hybrid threshold).
+    */
+  def finishExtend(count: Int): Unit = {
+    val start = n - count
     val betterToRebuild =
-      if (start < tailLen) true
-      else if (n <= 51) tailLen > n / 2
-      else tailLen > n / 4
+      if (start < count) true
+      else if (n <= 51) count > n / 2
+      else count > n / 4
     if (betterToRebuild) rebuild()
     else {
       var i = start
@@ -232,10 +252,11 @@ object Polylabel {
         val skipCross = py < bminY || py >= bmaxY || px > bmaxX
 
         if (!(skipDist && skipCross)) {
+          val xs = r.xs; val ys = r.ys
           var i = start
           while (i < end) {
-            val ax = r.xs(i); val ay = r.ys(i)
-            val bx = r.xs(i + 1); val by = r.ys(i + 1)
+            val ax = xs(i); val ay = ys(i)
+            val bx = xs(i + 1); val by = ys(i + 1)
             if (!skipCross &&
                 ((ay > py) != (by > py)) &&
                 (px < (bx - ax) * (py - ay) / (by - ay) + ax)) {
@@ -255,10 +276,10 @@ object Polylabel {
     if (inside) minDistance else -minDistance
   }
 
-  @inline private def mkCell(cx: Double, cy: Double, halfExtent: Double,
-                             rings: Array[PreparedRing]): Qcell = {
+  @inline private def appendCell(queue: CellHeap, cx: Double, cy: Double,
+                                 halfExtent: Double, rings: Array[PreparedRing]): Unit = {
     val d = signedDistance(cx, cy, rings)
-    Qcell(cx, cy, halfExtent, d, d + halfExtent * Sqrt2)
+    queue.append(cx, cy, halfExtent, d, d + halfExtent * Sqrt2)
   }
 
   /** Compute the pole of inaccessibility of `poly` to within `tolerance`.
@@ -285,47 +306,51 @@ object Polylabel {
     // initial guesses: polygon centroid and bbox center, with the
     // reference's seed selection (src/lib.rs:361-374)
     val c = Geom.centroid(poly).getOrElse(Pt(bbox.centerX, bbox.centerY))
-    val centroidCell = mkCell(c.x, c.y, 0.0, rings)
-    val bboxCell = mkCell(bbox.centerX, bbox.centerY, 0.0, rings)
-    var best = if (bboxCell.distance < centroidCell.distance) bboxCell else centroidCell
+    val centroidDist = signedDistance(c.x, c.y, rings)
+    val bboxDist = signedDistance(bbox.centerX, bbox.centerY, rings)
+    var bestX = c.x; var bestY = c.y; var bestDist = centroidDist
+    if (bboxDist < centroidDist) {
+      bestX = bbox.centerX; bestY = bbox.centerY; bestDist = bboxDist
+    }
 
     // seed the queue with a regular grid of cells of size cellSize
     val queue = new CellHeap()
     val gridCellSize = halfExtent * 2.0
     val nx = math.ceil(bbox.width / gridCellSize).toLong
     val ny = math.ceil(bbox.height / gridCellSize).toLong
-    val seed = new Array[Qcell]((nx * ny).toInt)
-    var si = 0
+    queue.beginExtend((nx * ny).toInt)
     var gx = 0L
     while (gx < nx) {
       var gy = 0L
       while (gy < ny) {
         val px = (bbox.minX + gx.toDouble * gridCellSize) + halfExtent
         val py = (bbox.minY + gy.toDouble * gridCellSize) + halfExtent
-        seed(si) = mkCell(px, py, halfExtent, rings)
-        si += 1
+        appendCell(queue, px, py, halfExtent, rings)
         gy += 1
       }
       gx += 1
     }
-    queue.extendBatch(seed, si)
+    queue.finishExtend((nx * ny).toInt)
 
     // branch-and-bound: pop the cell with the best upper bound; prune when
     // it cannot beat the current best by more than tolerance; else split
-    val quad = new Array[Qcell](4)
     while (queue.nonEmpty) {
-      val cell = queue.pop()
-      if (cell.distance > best.distance) best = cell
-      if (cell.maxDistance - best.distance > tolerance) {
-        halfExtent = cell.halfExtent / 2.0
-        quad(0) = mkCell(cell.cx - halfExtent, cell.cy - halfExtent, halfExtent, rings)
-        quad(1) = mkCell(cell.cx + halfExtent, cell.cy - halfExtent, halfExtent, rings)
-        quad(2) = mkCell(cell.cx - halfExtent, cell.cy + halfExtent, halfExtent, rings)
-        quad(3) = mkCell(cell.cx + halfExtent, cell.cy + halfExtent, halfExtent, rings)
-        queue.extendBatch(quad, 4)
+      queue.pop()
+      val cellX = queue.cx; val cellY = queue.cy
+      if (queue.distance > bestDist) {
+        bestX = cellX; bestY = cellY; bestDist = queue.distance
+      }
+      if (queue.maxDistance - bestDist > tolerance) {
+        halfExtent = queue.halfExtent / 2.0
+        queue.beginExtend(4)
+        appendCell(queue, cellX - halfExtent, cellY - halfExtent, halfExtent, rings)
+        appendCell(queue, cellX + halfExtent, cellY - halfExtent, halfExtent, rings)
+        appendCell(queue, cellX - halfExtent, cellY + halfExtent, halfExtent, rings)
+        appendCell(queue, cellX + halfExtent, cellY + halfExtent, halfExtent, rings)
+        queue.finishExtend(4)
       }
     }
 
-    LabelResult(best.cx, best.cy, best.distance)
+    LabelResult(bestX, bestY, bestDist)
   }
 }

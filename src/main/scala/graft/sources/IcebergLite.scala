@@ -81,17 +81,30 @@ object IcebergLite {
         .partitionBy("bucket")
         .parquet(s"$tableDir/data")
       val wallMs = (System.nanoTime() - t0) / 1000000L
-      // lineage computed from the COMMITTED files, not the in-flight plan
-      val committed = spark.read.parquet(s"$tableDir/data")
-        .where(col("bucket").isin(wave: _*))
-      val metrics = committed
-        .withColumn("h", xxhash64(committed.columns.filter(_ != "bucket").map(col): _*))
-        .groupBy(col("bucket").cast("int").as("bucket"))
-        .agg(count(lit(1)).as("rows"),
-          expr("bit_xor(h)").as("checksum"))
+      // lineage computed from the COMMITTED files, not the in-flight plan;
+      // EVERY bucket of the wave gets a row — a bucket whose transform
+      // produced no output is still complete (otherwise it would be
+      // re-processed on every resume)
+      val metricsOpt =
+        try {
+          val committed = spark.read.parquet(s"$tableDir/data")
+            .where(col("bucket").isin(wave: _*))
+          Some(committed
+            .withColumn("h", xxhash64(committed.columns.filter(_ != "bucket").map(col): _*))
+            .groupBy(col("bucket").cast("int").as("bucket"))
+            .agg(count(lit(1)).as("rows"),
+              expr("bit_xor(h)").as("checksum")))
+        } catch { // a wave can legitimately commit zero files overall
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      val base = wave.toDF("bucket")
+      val allWave = metricsOpt.fold(
+        base.withColumn("rows", lit(0L)).withColumn("checksum", lit(0L)))(
+        m => base.join(m, Seq("bucket"), "left")
+          .na.fill(Map("rows" -> 0L, "checksum" -> 0L)))
         .withColumn("wall_ms", lit(wallMs))
         .withColumn("snapshot_id", lit(snapshotId))
-      metrics.write.mode(SaveMode.Append).parquet(s"$tableDir/lineage")
+      allWave.write.mode(SaveMode.Append).parquet(s"$tableDir/lineage")
       writeManifest(spark, tableDir, snapshotId)
       processed ++= wave
     }

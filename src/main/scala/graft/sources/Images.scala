@@ -17,6 +17,12 @@ final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
 
 object Images {
 
+  // ImageIO's default stream cache is a DISK cache behind a synchronized
+  // factory — 32 concurrent encoder tasks serialize on it (measured: tiling
+  // got SLOWER from 8 to 32 cores). Heap-backed streams restore linear
+  // scaling.
+  ImageIO.setUseCache(false)
+
   /** Deterministic geo footprint of an image, CLOSED FORM in the image
     * index (integer modular arithmetic + exact /100 decimals) so any SQL
     * engine can re-derive it bit-for-bit — this is what lets the driver's

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.SpatialJoins
+import graft.sources.GeoTables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the optimizations the engine depends on at scale
+  * must actually appear in the executed plan — filters pushed to the
+  * parquet scan, columns pruned, dimension sides broadcast, partial
+  * aggregation before the shuffle.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan: filter pushdown + column pruning (q_agg_pricing)") {
+    val df = SparkEntry.queries("q_agg_pricing")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$plan")
+    // only the 5 needed columns are read, not all 11
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_suppkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("PIP join broadcasts the exploded polygon side") {
+    val polys = GeoTables.syntheticPolygons(spark, 10).toDF
+    val pts = GeoTables.syntheticPoints(spark, 100).toDF
+    val plan = planOf(SpatialJoins.pipJoin(pts, polys, 9))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "must never degrade to a cross join")
+  }
+
+  test("aggregation is partial+final (map-side combine before the shuffle)") {
+    val df = SparkEntry.queries("q_cell_of")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") ||
+      "HashAggregate.*partial".r.findFirstIn(plan).isDefined,
+      s"no partial aggregation before shuffle:\n$plan")
+  }
+
+  test("graft expressions stay inside whole-stage codegen") {
+    // every geometry expression implements doGenCode as a static
+    // ExprHelpers call, so the stage shows the *(n) codegen markers
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .selectExpr(
+        "cell_of(cast(l_orderkey as double)/100.0, cast(l_partkey as double)/1000.0, 10) AS c")
+      .selectExpr("c", "cell_parent(c) AS p", "cell_kring(c, 1) AS ring")
+    df.write.format("noop").mode("overwrite").save()
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"stage fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("kNN join keeps the label side broadcast in every round") {
+    val labels = GeoTables.syntheticPolygons(spark, 10).toDF
+      .select(col("poly_id"), lit(1.0).as("lx"), lit(41.0).as("ly"))
+    val pts = GeoTables.syntheticPoints(spark, 100).toDF
+    val plan = planOf(SpatialJoins.knnJoin(pts, labels, 2, 8))
+    assert(plan.contains("BroadcastHashJoin"), s"labels must broadcast:\n$plan")
+  }
+}
