@@ -13,6 +13,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -50,9 +50,13 @@ object GraftFunctions {
   * spark-submit without touching user code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // naive pip-over-cross-join -> staged cell equi-join (plan sugar; the
+    // explicit SpatialJoins API remains the primary surface)
+    ext.injectOptimizerRule(_ => graft.plans.PipJoinRewrite)
+  }
 }
