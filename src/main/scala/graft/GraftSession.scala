@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on tmpfs: in local mode all executor threads
+      // share ONE disk, and shuffle-heavy ops anti-scale past ~8 threads
+      // (measured: kNN 84s@8 -> 117s@32 on /tmp). A real cluster spreads
+      // shuffle over many NVMe drives; tmpfs is the local stand-in.
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir"))
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

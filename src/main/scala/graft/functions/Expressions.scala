@@ -332,3 +332,73 @@ case class GeoJsonPolygonExpr(child: Expression)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))
 }
+
+/** `geojson_feature_collection(str) -> array<struct<exterior, holes>>` —
+  * every Polygon feature of a GeoJSON FeatureCollection (the reference's
+  * ell.geojson shape). Malformed input -> null; non-Polygon features are
+  * skipped. Ingest-path, CodegenFallback.
+  */
+case class GeoJsonFeatureCollectionExpr(child: Expression)
+    extends Expression with CodegenFallback {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+  private val polyType = StructType(Seq(
+    StructField("exterior", GeomEncoding.ringType),
+    StructField("holes", GeomEncoding.holesType)))
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(polyType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geojson_feature_collection"
+
+  @transient private lazy val mapper = new ObjectMapper()
+  @transient private lazy val single = GeoJsonPolygonExpr(child)
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    if (s == null) return null
+    try {
+      val node: JsonNode = mapper.readTree(s.toString)
+      val feats =
+        if (node.get("type").asText() == "FeatureCollection") node.get("features")
+        else mapper.createArrayNode().add(node)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i < feats.size()) {
+        val parsed = parseOne(feats.get(i))
+        if (parsed != null) out += parsed
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    } catch { case _: Exception => null }
+  }
+
+  private def parseOne(node0: com.fasterxml.jackson.databind.JsonNode): Any = {
+    var node = node0
+    if (node.has("geometry")) node = node.get("geometry")
+    if (node.get("type") == null || node.get("type").asText() != "Polygon") return null
+    val coords = node.get("coordinates")
+    if (coords == null || coords.size() == 0) return null
+    def ring(r: com.fasterxml.jackson.databind.JsonNode): GenericArrayData = {
+      val pts = new Array[Any](r.size())
+      var i = 0
+      while (i < pts.length) {
+        val row = new GenericInternalRow(2)
+        row.setDouble(0, r.get(i).get(0).asDouble())
+        row.setDouble(1, r.get(i).get(1).asDouble())
+        pts(i) = row
+        i += 1
+      }
+      new GenericArrayData(pts)
+    }
+    val holes = new Array[Any](coords.size() - 1)
+    var i = 1
+    while (i < coords.size()) { holes(i - 1) = ring(coords.get(i)); i += 1 }
+    val out = new GenericInternalRow(2)
+    out.update(0, ring(coords.get(0)))
+    out.update(1, new GenericArrayData(holes))
+    out
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}

@@ -20,7 +20,8 @@ object GraftFunctions {
     "polygon_cover" -> (e => PolygonCoverExpr(e(0), e(1), e(2))),
     "pip" -> (e => PipExpr(e(0), e(1), e(2), e(3))),
     "signed_dist" -> (e => SignedDistExpr(e(0), e(1), e(2), e(3))),
-    "geojson_polygon" -> (e => GeoJsonPolygonExpr(e(0))))
+    "geojson_polygon" -> (e => GeoJsonPolygonExpr(e(0))),
+    "geojson_feature_collection" -> (e => GeoJsonFeatureCollectionExpr(e(0))))
 
   /** Idempotent registration into an existing session. */
   def register(spark: SparkSession): Unit =
@@ -43,6 +44,8 @@ object GraftFunctions {
   def signed_dist(x: Column, y: Column, exterior: Column, holes: Column): Column =
     call_function("signed_dist", x, y, exterior, holes)
   def geojson_polygon(s: Column): Column = call_function("geojson_polygon", s)
+  def geojson_feature_collection(s: Column): Column =
+    call_function("geojson_feature_collection", s)
 }
 
 /** `SparkSessionExtensions` hook so `--conf spark.sql.extensions=

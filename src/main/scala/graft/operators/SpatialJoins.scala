@@ -114,8 +114,11 @@ object SpatialJoins {
         .drop("ncell", "lcell")
       // persisted: `ranked` feeds both the resolution test and the output,
       // and `unresolved` would otherwise re-derive every earlier round's
-      // join inside its lineage
-      val ranked = topk(cand).persist(StorageLevel.MEMORY_AND_DISK)
+      // join inside its lineage; trimmed to the output columns so the
+      // cached footprint stays small
+      val ranked = topk(cand)
+        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val kth = ranked.groupBy("point_id")
         .agg(max(col("d2")).as("kth_d2"), count(lit(1)).as("n_cand"))
         .where(col("n_cand") >= k && col("kth_d2") <= lit((r * minDim) * (r * minDim)))
@@ -126,7 +129,7 @@ object SpatialJoins {
     }
     // fallback: whatever is left (isolated points) against all labels
     val fallback = topk(unresolved.crossJoin(broadcast(lab)).drop("lcell"))
+      .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
     (fallback :: resolvedParts).reduce(_ unionByName _)
-      .drop("pcell", "lx", "ly")
   }
 }

@@ -78,6 +78,33 @@ object GeoTables {
     }
   }
 
+  /** GeoJSON reader (SURVEY.md E2): one `polygons`-shaped row per Polygon
+    * feature of each FeatureCollection file under `path`. Distributed:
+    * whole-file text scan + the geojson_feature_collection expression.
+    */
+  def readGeoJson(spark: SparkSession, path: String, tolerance: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.geojson_feature_collection
+    graft.GraftSession.install(spark)
+    spark.read.option("wholetext", "true").text(path)
+      .select(posexplode(geojson_feature_collection(col("value"))).as(Seq("ix", "poly")))
+      .select(concat(lit("gj-"), col("ix")).as("poly_id"),
+        col("poly.exterior").as("exterior"), col("poly.holes").as("holes"),
+        lit(tolerance).as("tolerance"))
+  }
+
+  /** Typed Dataset surface of the kernel (SURVEY.md E5): label every
+    * polygon row with its pole of inaccessibility.
+    */
+  final case class LabelRow(poly_id: String, x: Double, y: Double, dist: Double)
+  def labels(polys: Dataset[PolyRow]): Dataset[LabelRow] = {
+    import polys.sparkSession.implicits._
+    polys.map { p =>
+      val r = graft.geom.Polylabel.polylabel(toPolygon(p), p.tolerance)
+      LabelRow(p.poly_id, r.x, r.y, r.dist)
+    }
+  }
+
   /** PolyRow -> kernel polygon (driver-side tests / oracles). */
   def toPolygon(r: PolyRow): PolygonG =
     new PolygonG(Ring(r.exterior.map(p => (p.x, p.y))),
