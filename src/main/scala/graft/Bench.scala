@@ -101,7 +101,13 @@ object Bench {
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout line is the driver contract (clean thanks to the sbt
+    // StdoutOutput strategy); the file is the belt-and-braces artifact
+    println(line)
+    val p = java.nio.file.Paths.get("BENCH/last_bench.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

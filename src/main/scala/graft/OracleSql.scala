@@ -167,8 +167,8 @@ object OracleSql {
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,3))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,3))) AS sum_base,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_qty_milli,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,3))) * 1000 AS BIGINT) AS sum_base_milli,
         |       count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -182,7 +182,7 @@ object OracleSql {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |SELECT c_mktsegment, rk, o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(18,3)) AS price
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,3)) * 1000 AS BIGINT) AS price_milli
         |FROM j WHERE rk <= 5
         |ORDER BY c_mktsegment, rk""".stripMargin,
 
@@ -387,7 +387,7 @@ object OracleSql {
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
         |       event_type,
         |       count(*) AS n,
-        |       sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_e4
         |FROM events
         |GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin)

@@ -105,13 +105,16 @@ object SparkEntry {
     }),
 
     // ---- aggregation (E12): TPC-H Q1 shape, decimal-exact sums ---------
+    // Fixed-point BIGINT output (milli-units): Spark renders sum(decimal)
+    // as decimal(28,3), DuckDB as decimal(38,3) — same values, different
+    // hashed representation. BIGINT is canonical in both engines.
     "q_agg_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,3)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,3)")).as("sum_base"),
+          (sum(col("l_quantity").cast("decimal(18,3)")) * 1000).cast("long").as("sum_qty_milli"),
+          (sum(col("l_extendedprice").cast("decimal(18,3)")) * 1000).cast("long").as("sum_base_milli"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -127,7 +130,7 @@ object SparkEntry {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 5)
         .select(col("c_mktsegment"), col("rk"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,3)").as("price"))
+          (col("o_totalprice").cast("decimal(18,3)") * 1000).cast("long").as("price_milli"))
         .orderBy("c_mktsegment", "rk")
     }),
 
@@ -205,7 +208,7 @@ object SparkEntry {
         .withColumn("bucket", (floor(unix_timestamp(col("ts")) / 300L) * 300L))
         .groupBy("bucket", "event_type")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+          (sum(col("value").cast("decimal(18,4)")) * 10000).cast("long").as("sum_value_e4"))
         .orderBy("bucket", "event_type")
     }))
 

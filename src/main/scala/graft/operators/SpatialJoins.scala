@@ -25,19 +25,43 @@ object SpatialJoins {
     * exact ray-cast `pip`. The cover is exact (cells intersecting the
     * polygon), so prefilter ⊇ truth and refine ⊆ prefilter = truth.
     *
-    * `broadcastPolygons` hints the exploded polygon side as the build
-    * side — right whenever polygons ≪ points (the common case at scale:
-    * dimension-table-sized vector data joined against a petabyte fact
-    * table of points).
+    * The broadcast path uses TWO SLIM broadcasts instead of one fat one:
+    * the per-cell fan-out carries only (cell_id, poly_id) and the geometry
+    * is broadcast once per polygon for the refine. Broadcasting geometry
+    * per cover cell made the (single-threaded) broadcast-relation build
+    * the dominant serial fraction at high parallelism — measured as the
+    * round-1 pip_join scaling-efficiency miss (0.43).
+    *
+    * `broadcastPolygons`: Some(true)/Some(false) force the path; None
+    * (default) broadcasts unless the polygon side's optimizer stats are
+    * file-backed AND above 16x autoBroadcastJoinThreshold — a mega-polygon
+    * parquet table routes to the sort-merge path automatically (AQE still
+    * splits skewed cells), while synthesized/unknown-stats dimension
+    * tables keep the broadcast.
     */
   def pipJoin(points: DataFrame, polygons: DataFrame, level: Int,
-              broadcastPolygons: Boolean = true): DataFrame = {
-    val cover = polygons
-      .withColumn("cell_id", explode(polygon_cover(col("exterior"), col("holes"), lit(level))))
-    val build = if (broadcastPolygons) broadcast(cover) else cover
-    points
-      .withColumn("cell_id", cell_of(col("x"), col("y"), lit(level)))
-      .join(build, "cell_id")
+              broadcastPolygons: Option[Boolean] = None): DataFrame = {
+    val spark = points.sparkSession
+    val doBroadcast = broadcastPolygons.getOrElse {
+      val sz = polygons.queryExecution.optimizedPlan.stats.sizeInBytes
+      val cap = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold.max(1L)) * 16
+      sz >= BigInt(Long.MaxValue) / 2 || sz <= cap
+    }
+    val pts = points.withColumn("cell_id", cell_of(col("x"), col("y"), lit(level)))
+    val joined = if (doBroadcast) {
+      val cellMap = polygons.select(col("poly_id"),
+        explode(polygon_cover(col("exterior"), col("holes"), lit(level))).as("cell_id"))
+      pts.join(broadcast(cellMap), "cell_id")
+        .join(broadcast(polygons), "poly_id")
+    } else {
+      // shuffle path: one sort-merge on the dense int64 cell key with the
+      // geometry riding along (a second shuffle of the prefiltered
+      // intermediate would cost more than the cover replication)
+      val cover = polygons
+        .withColumn("cell_id", explode(polygon_cover(col("exterior"), col("holes"), lit(level))))
+      pts.join(cover, "cell_id")
+    }
+    joined
       .where(pip(col("x"), col("y"), col("exterior"), col("holes")))
       .drop("cell_id", "exterior", "holes", "tolerance")
   }
@@ -75,9 +99,24 @@ object SpatialJoins {
     * ring can be closer. Unresolved points (sparse regions) go to the
     * next round; the final fallback is a broadcast of the (tiny) leftover
     * point set against all labels. Output: (point cols, poly_id, dist, rank).
+    *
+    * `broadcastLabels = true` assumes the label set fits on every executor
+    * (dimension-table case). With false, NEITHER side is broadcast: each
+    * label is replicated into the kRing of its own cell (Chebyshev rings
+    * are symmetric, so the candidate set is identical) and the join is a
+    * shuffle on the cell key — the path for label sets that rival the
+    * point set in size (both sides co-partition by cell).
+    *
+    * Rounds are materialized eagerly (count per round): that enables
+    * early-exit when everything is resolved and lets each superseded
+    * round's cache be dropped immediately. The returned DataFrame is
+    * itself materialized+cached and all intermediates unpersisted — no
+    * cached state leaks beyond the (output-sized) result; callers may
+    * `unpersist()` the result when done.
     */
   def knnJoin(points: DataFrame, labels: DataFrame, k: Int, level: Int,
-              rounds: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+              rounds: Seq[Int] = Seq(1, 2, 4, 8),
+              broadcastLabels: Boolean = true): DataFrame = {
     val cellW = CellIndex.SpanX / CellIndex.gridSize(level).toDouble
     val cellH = CellIndex.SpanY / CellIndex.gridSize(level).toDouble
     val minDim = math.min(cellW, cellH)
@@ -105,31 +144,57 @@ object SpatialJoins {
       .select(col("point_id"), col("x"), col("y"))
       .withColumn("pcell", cell_of(col("x"), col("y"), lit(level)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var nLeft = unresolved.count()
     var resolvedParts = List.empty[DataFrame]
+    val rankedHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
-    for (r <- rounds) {
-      val cand = unresolved
-        .withColumn("ncell", explode(cell_kring(col("pcell"), lit(r))))
-        .join(broadcast(lab), col("ncell") === col("lcell"))
-        .drop("ncell", "lcell")
-      // persisted: `ranked` feeds both the resolution test and the output,
-      // and `unresolved` would otherwise re-derive every earlier round's
-      // join inside its lineage; trimmed to the output columns so the
-      // cached footprint stays small
+    val it = rounds.iterator
+    while (it.hasNext && nLeft > 0) {
+      val r = it.next()
+      val cand =
+        if (broadcastLabels)
+          unresolved
+            .withColumn("ncell", explode(cell_kring(col("pcell"), lit(r))))
+            .join(broadcast(lab), col("ncell") === col("lcell"))
+            .drop("ncell", "lcell")
+        else {
+          // symmetric formulation: replicate each LABEL into the kRing of
+          // its own cell and shuffle-join on the point's cell — identical
+          // candidate set (Chebyshev rings are symmetric), no broadcast
+          val labRinged = lab
+            .withColumn("rcell", explode(cell_kring(col("lcell"), lit(r))))
+            .drop("lcell")
+          unresolved.join(labRinged, col("pcell") === col("rcell")).drop("rcell")
+        }
+      // persisted: `ranked` feeds both the resolution test and the output;
+      // trimmed to the output columns so the cached footprint stays small
       val ranked = topk(cand)
         .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      ranked.count() // materialize while this round's `unresolved` is cached
       val kth = ranked.groupBy("point_id")
         .agg(max(col("d2")).as("kth_d2"), count(lit(1)).as("n_cand"))
         .where(col("n_cand") >= k && col("kth_d2") <= lit((r * minDim) * (r * minDim)))
         .select(col("point_id").as("ok_id"))
       resolvedParts ::= ranked.join(kth, ranked("point_id") === kth("ok_id"), "left_semi")
-      unresolved = unresolved.join(kth, unresolved("point_id") === kth("ok_id"), "left_anti")
+      rankedHandles += ranked
+      val next = unresolved.join(kth, unresolved("point_id") === kth("ok_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      nLeft = next.count()
+      // both consumers of the superseded round (this ranked, next
+      // unresolved) are materialized — drop its cache now, not at session end
+      unresolved.unpersist(blocking = false)
+      unresolved = next
     }
     // fallback: whatever is left (isolated points) against all labels
-    val fallback = topk(unresolved.crossJoin(broadcast(lab)).drop("lcell"))
+    val leftover = unresolved.crossJoin(if (broadcastLabels) broadcast(lab) else lab)
+    val fallback = topk(leftover.drop("lcell"))
       .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
-    (fallback :: resolvedParts).reduce(_ unionByName _)
+    val result = (fallback :: resolvedParts).reduce(_ unionByName _)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    rankedHandles.foreach(_.unpersist(blocking = false))
+    unresolved.unpersist(blocking = false)
+    result
   }
 }

@@ -31,8 +31,9 @@ object Tiling {
     import spark.implicits._
     images.flatMap { im =>
       val img = Images.decode(im.bytes)
-      val id = im.image_id.stripPrefix("img-").toLong
-      val (fx0, fy0, fx1, fy1) = Images.footprint(id)
+      // footprint comes from the table's own columns (input_hint shape),
+      // never from parsing the id — any images table works
+      val (fx0, fy0, fx1, fy1) = (im.fminx, im.fminy, im.fmaxx, im.fmaxy)
       val nx = im.w / TileSize
       val ny = im.h / TileSize
       val stepX = (fx1 - fx0) / nx

@@ -13,7 +13,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * characters to exercise byte-exact caption equality.
   */
 final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
-                          fmt: String, caption: String, phash: Long)
+                          fmt: String, caption: String, phash: Long,
+                          fminx: Double, fminy: Double, fmaxx: Double, fmaxy: Double)
 
 object Images {
 
@@ -133,7 +134,12 @@ object Images {
     val h = heightOf(id)
     val fmt = fmtOf(id)
     val img = render(renderId, w, h)
-    ImageRow(f"img-$id%08d", encode(img, fmt), w, h, fmt, caption(id), phash(img))
+    // the geo footprint is DATA (real columns of the fact table), not
+    // something operators derive from the id — Tiling.tile reads these
+    // columns, so it works on any images table of the input_hint shape
+    val (fx0, fy0, fx1, fy1) = footprint(id)
+    ImageRow(f"img-$id%08d", encode(img, fmt), w, h, fmt, caption(id), phash(img),
+      fx0, fy0, fx1, fy1)
   }
 
   /** The synthetic images table as a distributed Dataset. */

@@ -21,7 +21,7 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"point_id", $"poly_id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(brute.nonEmpty, "oracle must produce matches for the test to mean anything")
-    for (level <- Seq(6, 9, 12); bcast <- Seq(true, false)) {
+    for (level <- Seq(6, 9, 12); bcast <- Seq(Some(true), Some(false), None)) {
       val got = SpatialJoins.pipJoin(points, polys, level, bcast)
         .select($"point_id", $"poly_id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -58,6 +58,13 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got === brute)
+
+    // partitioned variant (no label broadcast): identical output
+    val gotPart = SpatialJoins.knnJoin(points, labels, k, level = 8,
+      broadcastLabels = false)
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(gotPart === brute)
   }
 
   test("knnJoin resolves every point exactly k times") {
