@@ -92,6 +92,33 @@ object OracleSql {
       |         ((p_size * 3 % 10 + 1) / 10.0 + 0.05) AS hh
       |  FROM part)""".stripMargin
 
+  /** Shared by q_pip_join and q_salted_join (salting must not change the
+    * join's truth).
+    */
+  private val pipJoinOracle: String =
+    s"""WITH pts AS (
+       |  SELECT o_orderkey AS point_id,
+       |         ((o_orderkey % 360) / 10.0 - 18.0) AS x,
+       |         ((o_custkey % 180) / 10.0 - 9.0) AS y
+       |  FROM orders),
+       |$rectCte
+       |SELECT point_id, poly_id
+       |FROM pts, rects
+       |WHERE x > cx - hw AND x < cx + hw AND y > cy - hh AND y < cy + hh
+       |ORDER BY point_id, poly_id""".stripMargin
+
+  /** Shared by q_events_window (batch) and q_stream_window (Structured
+    * Streaming over the same file; epoch-aligned tumbling windows).
+    */
+  private val eventsWindowOracle: String =
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
+      |       event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_e4
+      |FROM events
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q_polylabel_fixtures" ->
@@ -131,17 +158,8 @@ object OracleSql {
          |SELECT poly_id, ${cellId("ix", "iy", 8)} AS cell_id
          |FROM g ORDER BY poly_id, cell_id""".stripMargin,
 
-    "q_pip_join" ->
-      s"""WITH pts AS (
-         |  SELECT o_orderkey AS point_id,
-         |         ((o_orderkey % 360) / 10.0 - 18.0) AS x,
-         |         ((o_custkey % 180) / 10.0 - 9.0) AS y
-         |  FROM orders),
-         |$rectCte
-         |SELECT point_id, poly_id
-         |FROM pts, rects
-         |WHERE x > cx - hw AND x < cx + hw AND y > cy - hh AND y < cy + hh
-         |ORDER BY point_id, poly_id""".stripMargin,
+    "q_pip_join" -> pipJoinOracle,
+    "q_salted_join" -> pipJoinOracle,
 
     "q_knn_join" ->
       s"""WITH pts AS (
@@ -383,12 +401,95 @@ object OracleSql {
          |WHERE dot > 0 AND dot * dot * 10000 >= 900 * na.n2 * nb.n2
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    "q_events_window" ->
-      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
-        |       event_type,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_e4
-        |FROM events
-        |GROUP BY bucket, event_type
-        |ORDER BY bucket, event_type""".stripMargin)
+    "q_events_window" -> eventsWindowOracle,
+    "q_stream_window" -> eventsWindowOracle,
+
+    "q_geojson" -> {
+      val sq = Seq( // gj-0: square with one hole
+        (0, 0, "0.0", "0.0"), (0, 1, "4.0", "0.0"), (0, 2, "4.0", "4.0"),
+        (0, 3, "0.0", "4.0"), (0, 4, "0.0", "0.0"),
+        (1, 0, "1.5", "1.5"), (1, 1, "2.5", "1.5"), (1, 2, "2.5", "2.5"),
+        (1, 3, "1.5", "2.5"), (1, 4, "1.5", "1.5"))
+        .map { case (r, i, x, y) =>
+          s"('gj-0', $r, $i, CAST('$x' AS DOUBLE), CAST('$y' AS DOUBLE))" }
+      val tri = Seq( // gj-1: triangle, no holes
+        (0, 0, "-10.5", "20.25"), (0, 1, "-8.0", "20.25"),
+        (0, 2, "-8.0", "22.75"), (0, 3, "-10.5", "20.25"))
+        .map { case (r, i, x, y) =>
+          s"('gj-1', $r, $i, CAST('$x' AS DOUBLE), CAST('$y' AS DOUBLE))" }
+      s"""SELECT * FROM (VALUES ${(sq ++ tri).mkString(", ")})
+         |AS t(poly_id, ring, i, x, y)
+         |ORDER BY poly_id, ring, i""".stripMargin
+    },
+
+    "q_rasterize" ->
+      s"""WITH $rectCte,
+         |b AS (
+         |  SELECT poly_id, cx, cy, hw, hh,
+         |         ${gridIx("(cx - hw)", -180.0, 360.0, 8)} AS ix0,
+         |         ${gridIx("(cx + hw)", -180.0, 360.0, 8)} AS ix1,
+         |         ${gridIx("(cy - hh)", -90.0, 180.0, 8)} AS iy0,
+         |         ${gridIx("(cy + hh)", -90.0, 180.0, 8)} AS iy1
+         |  FROM rects),
+         |gx AS (
+         |  SELECT poly_id, cx, cy, hw, hh, iy0, iy1, xs.range AS ix
+         |  FROM b JOIN range(0, 256) xs ON xs.range BETWEEN ix0 AND ix1),
+         |g AS (
+         |  SELECT poly_id, cx, cy, hw, hh, ix, ys.range AS iy
+         |  FROM gx JOIN range(0, 256) ys ON ys.range BETWEEN iy0 AND iy1),
+         |cells AS (
+         |  SELECT poly_id, cx, cy, hw, hh, ${cellId("ix", "iy", 8)} AS cell_id,
+         |         (-180.0 + (ix / 256.0) * 360.0) AS rminx,
+         |         (-90.0 + (iy / 256.0) * 180.0) AS rminy,
+         |         ((-180.0 + ((ix + 1) / 256.0) * 360.0) - (-180.0 + (ix / 256.0) * 360.0)) AS rw,
+         |         ((-90.0 + ((iy + 1) / 256.0) * 180.0) - (-90.0 + (iy / 256.0) * 180.0)) AS rh
+         |  FROM g)
+         |SELECT poly_id, cell_id,
+         |       CAST(sum(CASE WHEN (rminx + ((si.range + 0.5) / 8) * rw) > (cx - hw)
+         |                      AND (rminx + ((si.range + 0.5) / 8) * rw) < (cx + hw)
+         |                      AND (rminy + ((sj.range + 0.5) / 8) * rh) > (cy - hh)
+         |                      AND (rminy + ((sj.range + 0.5) / 8) * rh) < (cy + hh)
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS hits64
+         |FROM cells, range(0, 8) si, range(0, 8) sj
+         |GROUP BY poly_id, cell_id
+         |ORDER BY poly_id, cell_id""".stripMargin,
+
+    "q_scalar_fns" ->
+      s"""WITH $rectCte,
+         |ij AS (
+         |  SELECT poly_id,
+         |         ${gridIx("cx", -180.0, 360.0, 12)} AS ix12,
+         |         ${gridIx("cy", -90.0, 180.0, 12)} AS iy12,
+         |         ${gridIx("cx", -180.0, 360.0, 6)} AS ix6,
+         |         ${gridIx("cy", -90.0, 180.0, 6)} AS iy6
+         |  FROM rects),
+         |c AS (SELECT poly_id, ${cellId("ix12", "iy12", 12)} AS cell12, ix6, iy6 FROM ij)
+         |SELECT poly_id, TRUE AS inside, TRUE AS sd_pos, cell12,
+         |       ((CAST(11 AS BIGINT) << 53) | ((cell12 & 9007199254740991) >> 2)) AS cell11,
+         |       CAST((least(ix6 + 2, 63) - greatest(ix6 - 2, 0) + 1)
+         |          * (least(iy6 + 2, 63) - greatest(iy6 - 2, 0) + 1) AS INT) AS kring_n,
+         |       FALSE AS label_nan
+         |FROM c ORDER BY poly_id""".stripMargin,
+
+    "q_sink_metrics" ->
+      """SELECT CAST(c_custkey % 16 AS INT) AS bucket, count(*) AS n_rows
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_resume" ->
+      """SELECT CAST(c_custkey % 16 AS INT) AS bucket, count(*) AS n_rows
+        |FROM customer WHERE c_custkey % 16 >= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_phash_groups" ->
+      """WITH imgs AS (
+        |  SELECT t.range AS id,
+        |         'img-' || lpad(CAST(t.range AS VARCHAR), 8, '0') AS image_id,
+        |         CASE WHEN t.range % 17 = 16 AND t.range >= 9
+        |              THEN t.range - 9 ELSE t.range END AS render_id
+        |  FROM range(0, 240) t),
+        |grp AS (
+        |  SELECT render_id, min(image_id) AS rep_id, count(*) AS n,
+        |         string_agg(image_id, ',' ORDER BY image_id) AS ids
+        |  FROM imgs GROUP BY render_id)
+        |SELECT rep_id, n, ids FROM grp WHERE n > 1 ORDER BY rep_id""".stripMargin)
 }

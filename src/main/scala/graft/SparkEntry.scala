@@ -171,12 +171,16 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
 
-    // phash groups over the synthetic images (pixel-derived — no SQL
-    // oracle possible; driver rows-only check + ScalaTest golden)
+    // phash groups over the synthetic images. The grouping KEY is the
+    // pixel-derived phash (not SQL-derivable), but the group STRUCTURE is:
+    // phash is injective on distinct renders here (asserted in
+    // PipelineOpsSpec), so groups == the planted mod-17 duplicate pairs,
+    // which the oracle re-derives in closed form.
     "q_phash_groups" -> ((s, _) => {
       Dedup.phashGroups(graft.sources.Images.table(s, 240).toDF)
-        .select(col("phash"), col("n"), concat_ws(",", col("ids")).as("ids"))
-        .orderBy("phash")
+        .select(element_at(col("ids"), 1).as("rep_id"), col("n"),
+          concat_ws(",", col("ids")).as("ids"))
+        .orderBy("rep_id")
     }),
 
     // ---- training-pipeline: text analysis ------------------------------
@@ -210,11 +214,134 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (sum(col("value").cast("decimal(18,4)")) * 10000).cast("long").as("sum_value_e4"))
         .orderBy("bucket", "event_type")
+    }),
+
+    // ---- GeoJSON scan (E2): FeatureCollection file -> flattened rings ---
+    "q_geojson" -> ((s, _) => {
+      g(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_gj_")
+      java.nio.file.Files.writeString(dir.resolve("fc.geojson"), geoJsonLiteral)
+      val polys = GeoTables.readGeoJson(s, dir.toString)
+      val ext = polys.select(col("poly_id"), lit(0).as("ring"),
+        posexplode(col("exterior")).as(Seq("i", "pt")))
+      val hol = polys.select(col("poly_id"),
+          posexplode(col("holes")).as(Seq("hix", "hole")))
+        .select(col("poly_id"), (col("hix") + 1).as("ring"),
+          posexplode(col("hole")).as(Seq("i", "pt")))
+      ext.unionByName(hol)
+        .select(col("poly_id"), col("ring"), col("i"),
+          col("pt.x").as("x"), col("pt.y").as("y"))
+        .orderBy("poly_id", "ring", "i")
+    }),
+
+    // ---- salted PIP join (E8): same truth as the unsalted oracle --------
+    "q_salted_join" -> ((s, dir) => {
+      g(s)
+      val points = t(s, dir, "orders")
+        .select(col("o_orderkey").as("point_id"),
+          ((col("o_orderkey") % 360) / 10.0 - 18.0).as("x"),
+          ((col("o_custkey") % 180) / 10.0 - 9.0).as("y"))
+      SpatialJoins.pipJoinSalted(points, rectPolys(s, dir), level = 8, salt = 4)
+        .select(col("point_id"), col("poly_id"))
+        .orderBy("point_id", "poly_id")
+    }),
+
+    // ---- vector->raster (E11): per-cover-cell 8x8 coverage samples ------
+    // hits64 = coverage * 64 is integer-exact (64 = 2^6), and every sample
+    // point / rect-edge comparison is IEEE-identical to the SQL oracle.
+    "q_rasterize" -> ((s, dir) => {
+      g(s)
+      Tiling.rasterize(rectPolys(s, dir), level = 8, samples = 8)
+        .select(col("poly_id"), col("cell_id"),
+          (col("coverage") * 64).cast("long").as("hits64"))
+        .orderBy("poly_id", "cell_id")
+    }),
+
+    // ---- scalar function surface (E16) ----------------------------------
+    "q_scalar_fns" -> ((s, dir) => {
+      g(s)
+      val r = rectPolys(s, dir)
+      val c6 = cell_of(col("cx"), col("cy"), lit(6))
+      r.select(col("poly_id"),
+        pip(col("cx"), col("cy"), col("exterior"), col("holes")).as("inside"),
+        (signed_dist(col("cx"), col("cy"), col("exterior"), col("holes")) > 0).as("sd_pos"),
+        cell_of(col("cx"), col("cy"), lit(12)).as("cell12"),
+        cell_parent(cell_of(col("cx"), col("cy"), lit(12))).as("cell11"),
+        size(cell_kring(c6, lit(2))).as("kring_n"),
+        isnan(polylabel(col("exterior"), col("holes"), col("tolerance"))("x")).as("label_nan"))
+        .orderBy("poly_id")
+    }),
+
+    // ---- sink + per-partition lineage metrics (E3) -----------------------
+    // bucket expression is a modular key (not xxhash64) so the oracle can
+    // re-derive the per-bucket row counts the lineage table records.
+    "q_sink_metrics" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.sources.IcebergLite.run(c, Seq("c_custkey"), buckets = 16,
+        bucketsPerWave = 4, tableDir = tmp,
+        bucketExpr = Some(pmod(col("c_custkey"), lit(16)).cast("int")))(identity)
+      graft.sources.IcebergLite.readLineage(s, tmp)
+        .select(col("bucket"), col("rows").as("n_rows"))
+        .orderBy("bucket")
+    }),
+
+    // ---- checkpoint/resume (E15): lineage anti-join skips committed work -
+    // Buckets 0..7 are pre-marked complete (a simulated prior partial run);
+    // the resumed run must process ONLY buckets 8..15, so the data table
+    // holds exactly the rows whose bucket >= 8.
+    "q_resume" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_resume_").toString
+      (0 until 8).toDF("bucket")
+        .withColumn("rows", lit(0L)).withColumn("checksum", lit(0L))
+        .withColumn("wall_ms", lit(0L)).withColumn("snapshot_id", lit(0L))
+        .write.mode("append").parquet(s"$tmp/lineage")
+      val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.sources.IcebergLite.run(c, Seq("c_custkey"), buckets = 16,
+        bucketsPerWave = 8, tableDir = tmp,
+        bucketExpr = Some(pmod(col("c_custkey"), lit(16)).cast("int")))(identity)
+      graft.sources.IcebergLite.readTable(s, tmp)
+        .groupBy(col("bucket").cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("bucket")
+    }),
+
+    // ---- Structured Streaming (E17): file stream == batch oracle ---------
+    // The events table replayed through readStream with an AvailableNow
+    // trigger and a tumbling event-time window; epoch-aligned windows mean
+    // the batch SQL oracle (same as q_events_window) is the exact truth.
+    "q_stream_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = t(s, dir, "events").schema
+      // the file-stream source wants a DIRECTORY to watch; testdata tables
+      // are single files, so expose the file through a temp dir symlink
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val streamDir =
+        if (java.nio.file.Files.isDirectory(src)) src
+        else {
+          val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+          java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
+          d
+        }
+      val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      val agg = stream
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(18,4)")) * 10000).cast("long").as("sum_value_e4"))
+      val q = agg.writeStream.format("memory").queryName("graft_stream_window")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_stream_window")
+        .select(unix_timestamp(col("win.start")).as("bucket"), col("event_type"),
+          col("n"), col("sum_value_e4"))
+        .orderBy("bucket", "event_type")
     }))
 
   /** Deterministic rectangle "polygons" derived from `part` — the
     * SQL-expressible polygon family used by the join oracles. Corners at
     * x.x5 offsets so no derived point ever lands exactly on an edge.
+    * cx/cy/hw/hh ride along for oracles that need the closed form.
     */
   private def rectPolys(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part")
@@ -232,8 +359,21 @@ object SparkEntry {
         struct((col("cx") - col("hw")).as("x"), (col("cy") - col("hh")).as("y"))
       ).as("exterior"),
       lit(null).cast(graft.functions.GeomEncoding.holesType).as("holes"),
-      lit(0.01).as("tolerance"))
+      lit(0.01).as("tolerance"),
+      col("cx"), col("cy"), col("hw"), col("hh"))
   }
+
+  /** Deterministic GeoJSON FeatureCollection literal (E2 driver query):
+    * all coordinates exactly binary-representable so the oracle can pin
+    * them as VALUES.
+    */
+  private[graft] val geoJsonLiteral: String =
+    """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","properties":{"name":"sq"},"geometry":{"type":"Polygon","coordinates":
+      |[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]],
+      |[[1.5,1.5],[2.5,1.5],[2.5,2.5],[1.5,2.5],[1.5,1.5]]]}},
+      |{"type":"Feature","properties":{"name":"tri"},"geometry":{"type":"Polygon","coordinates":
+      |[[[-10.5,20.25],[-8.0,20.25],[-8.0,22.75],[-10.5,20.25]]]}}]}""".stripMargin
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Geometry oracles re-derive the quadkey bit

@@ -55,16 +55,22 @@ object IcebergLite {
     * The transform must be deterministic per row (it runs once per bucket
     * wave); the checksum is an order-independent XOR-fold of row hashes so
     * re-runs can be audited cheaply.
+    *
+    * `bucketExpr` overrides the default xxhash64 bucket assignment with a
+    * caller-supplied expression (must be deterministic, int, in
+    * [0, buckets)) — e.g. a modular key that an external auditor can
+    * re-derive.
     */
   def run(input: DataFrame, keyCols: Seq[String], buckets: Int,
-          bucketsPerWave: Int, tableDir: String)
+          bucketsPerWave: Int, tableDir: String,
+          bucketExpr: Option[org.apache.spark.sql.Column] = None)
          (transform: DataFrame => DataFrame): Seq[Int] = {
     val spark = input.sparkSession
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val withBucket = input.withColumn("bucket",
-      pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).cast("int"))
+      bucketExpr.getOrElse(pmod(xxhash64(keyCols.map(col): _*), lit(buckets)).cast("int")))
 
     val done = completedBuckets(spark, tableDir)
     val pending = (0 until buckets).filterNot(done)
@@ -74,9 +80,14 @@ object IcebergLite {
     for (wave <- pending.grouped(bucketsPerWave)) {
       val t0 = System.nanoTime()
       val slice = withBucket.where(col("bucket").isin(wave: _*))
-      val out = transform(slice)
-      require(out.columns.contains("bucket"),
+      // re-pin the output to THIS wave: a transform that emitted rows with
+      // bucket values outside the wave would dynamic-partition-OVERWRITE
+      // committed partitions of other (complete) buckets and silently
+      // stale their lineage rows/checksums
+      val raw = transform(slice)
+      require(raw.columns.contains("bucket"),
         "transform must preserve the bucket column")
+      val out = raw.where(col("bucket").isin(wave: _*))
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")
         .parquet(s"$tableDir/data")

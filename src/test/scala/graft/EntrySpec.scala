@@ -11,14 +11,11 @@ class EntrySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("points_inside") > 0))
   }
 
-  /** Queries whose outputs derive from pixel content — not expressible in
-    * SQL, so the driver records a rows-only check for them (contract
-    * allows this); everything else must carry an oracle.
-    */
-  private val pixelDerived = Set("q_phash_groups")
-
-  test("every query has an oracle unless pixel-derived") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- pixelDerived
+  test("every query has an oracle") {
+    // since round 2 even q_phash_groups carries one (group structure via
+    // the closed-form render_id mapping; injectivity asserted in
+    // PipelineOpsSpec)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty,
       "oracle entries without a query")
