@@ -46,10 +46,13 @@ object OracleSql {
     .map { case (n, x, y) => s"('$n', CAST('$x' AS DOUBLE), CAST('$y' AS DOUBLE))" }
     .mkString(", ")
 
-  /** Positional codepoint packing of a token (= TextOps.tokenInt). */
+  /** Positional codepoint packing of a token (= TextOps.tokenInt; each
+    * codepoint reduced mod 131 before the positional multiply so non-ASCII
+    * codepoints cannot overflow BIGINT in either engine).
+    */
   private def tokenInt(c: String): String =
     (0 until 8).map { k =>
-      s"CAST(ascii(substr($c, ${k + 1}, 1)) AS BIGINT) * ${math.pow(131.0, k).toLong}"
+      s"(CAST(ascii(substr($c, ${k + 1}, 1)) AS BIGINT) % 131) * ${math.pow(131.0, k).toLong}"
     }.mkString(" + ")
 
   /** Token stream with ordinal (constant-bound range + filter — DuckDB's
@@ -243,11 +246,20 @@ object OracleSql {
 
     "q_dedup_ngram" ->
       s"""WITH $shinglesCte,
+         |rare AS (
+         |  SELECT lang, shingle FROM sh
+         |  GROUP BY lang, shingle HAVING count(*) <= 50),
+         |shr AS (SELECT sh.* FROM sh JOIN rare USING (lang, shingle)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shr a JOIN shr b
+         |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b
-         |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter, (sa.n + sb.n - inter) AS uni
          |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
@@ -290,18 +302,31 @@ object OracleSql {
          |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "q_simhash" ->
+    "q_simhash" -> {
+      // 64-bit: bits 0..31 from hlo, 32..63 from hhi (= Dedup.simhash).
+      // The sign bit's weight is written as (-9223372036854775807 - 1):
+      // the bare literal would parse as negate(2^63) and promote to
+      // HUGEINT in DuckDB. Negative term added LAST so partials stay in
+      // BIGINT range under overflow checking.
+      val sums = (0 until 64).map { b =>
+        val h = if (b < 32) s"(hlo >> $b)" else s"(hhi >> ${b - 32})"
+        s"sum(($h % 2) * 2 - 1) AS s$b"
+      }.mkString(", ")
+      val pack = (0 until 63).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ") +
+        " + (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
       s"""WITH $toksCte,
          |th AS (
-         |  SELECT doc_id, ((${tokenInt("tok")}) % 1000000007) * 48271 % 65536 AS h
+         |  SELECT doc_id,
+         |         ((${tokenInt("tok")}) % 1000000007) * 48271 % 4294967296 AS hlo,
+         |         ((${tokenInt("tok")}) % 1000000007) * 69621 % 4294967296 AS hhi
          |  FROM toks),
          |bits AS (
-         |  SELECT doc_id,
-         |         ${(0 until 16).map(b => s"sum(((h >> $b) % 2) * 2 - 1) AS s$b").mkString(", ")}
+         |  SELECT doc_id, $sums
          |  FROM th GROUP BY doc_id)
-         |SELECT doc_id,
-         |       ${(0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")} AS simhash
-         |FROM bits ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, $pack AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_quality" ->
       s"""WITH $toksCte,
@@ -390,11 +415,31 @@ object OracleSql {
 
     "q_embed_neardup" ->
       s"""WITH $quantCte,
-         |ql AS (SELECT qv.*, e.label FROM qv JOIN embeddings e USING (vec_id)),
+         |wts AS (
+         |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
+         |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
+         |  FROM range(0, 8) j, range(0, 64) i),
+         |proj AS (
+         |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
+         |  FROM qv JOIN wts ON qv.i = wts.i
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |meta AS (
+         |  SELECT e.vec_id, e.label, bk.bucket
+         |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM meta a JOIN meta b
+         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |n AS (SELECT vec_id, sum(q * q) AS n2 FROM qv GROUP BY 1),
          |dots AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot
-         |  FROM ql a JOIN ql b ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+         |  SELECT c.vec_a, c.vec_b, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qv qa ON qa.vec_id = c.vec_a
+         |  JOIN qv qb ON qb.vec_id = c.vec_b AND qb.i = qa.i
          |  GROUP BY 1, 2)
          |SELECT vec_a, vec_b, dot
          |FROM dots JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id

@@ -160,8 +160,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("rep_id")),
 
+    // dfMax=50: candidates only from shingles with block-local document
+    // frequency <= 50 (the 100 TB-safe path); verify on full sets. The
+    // oracle mirrors the same criterion.
     "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), num = 1, den = 2)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), num = 1, den = 2, dfMax = 50)
         .orderBy("doc_a", "doc_b")),
 
     "q_dedup_minhash" -> ((s, dir) =>

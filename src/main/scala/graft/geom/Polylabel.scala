@@ -282,30 +282,73 @@ object Polylabel {
     queue.append(cx, cy, halfExtent, d, d + halfExtent * Sqrt2)
   }
 
+  /** Typed error surface (SURVEY.md K15): the reference's two distinct
+    * failure codes, /root/reference/src/errors.rs:8-13. The SQL expression
+    * surface collapses both to the (NaN, NaN, NaN) sentinel like the
+    * reference's C ABI; this Dataset-side ADT preserves them.
+    */
+  sealed abstract class PolylabelError(val message: String)
+  object PolylabelError {
+    /** reference src/errors.rs:9-10 (centroid() returned None) */
+    case object CentroidCalculation
+      extends PolylabelError("Couldn't calculate a centroid for the input Polygon")
+    /** reference src/errors.rs:11-12 (bounding_rect() returned None) */
+    case object RectCalculation
+      extends PolylabelError("Couldn't calculate a bounding box for the input Polygon")
+  }
+
   /** Compute the pole of inaccessibility of `poly` to within `tolerance`.
     * Degenerate polygons (zero signed area) yield (0,0); zero-extent
     * bounding boxes yield the bbox min corner — both per the reference's
-    * short-circuits (src/lib.rs:340-352).
+    * short-circuits (src/lib.rs:340-352). Throws on error; use
+    * [[polylabelEither]] for the typed error surface.
     */
-  def polylabel(poly: PolygonG, tolerance: Double): LabelResult = {
+  def polylabel(poly: PolygonG, tolerance: Double): LabelResult =
+    polylabelEither(poly, tolerance) match {
+      case Right(r) => r
+      case Left(e) => throw new IllegalArgumentException(e.message)
+    }
+
+  /** Result-typed variant preserving the reference's error distinction
+    * (src/lib.rs:345-347 RectCalculation, :361-363 CentroidCalculation).
+    */
+  def polylabelEither(poly: PolygonG,
+                      tolerance: Double): Either[PolylabelError, LabelResult] = {
     // The reference accepts any tolerance but never terminates for
     // tolerance <= 0 or NaN (the prune test `max - best <= tol` can never
     // fire while half-extents stay positive). Those inputs are rejected
     // here; the SQL surface maps this to the (NaN, NaN) error sentinel.
     require(tolerance > 0.0 && !tolerance.isInfinity,
       s"tolerance must be a finite positive number, got $tolerance")
-    if (Geom.signedArea(poly) == 0.0) return LabelResult(0.0, 0.0, 0.0)
+    if (Geom.signedArea(poly) == 0.0) return Right(LabelResult(0.0, 0.0, 0.0))
 
+    // reference src/lib.rs:345-347: no usable bounding rect -> error.
+    // Reachable with an empty exterior or non-finite coordinates (NaN
+    // vertices give a NaN signed area, which passes the == 0 guard).
+    if (poly.exterior.xs.length == 0) return Left(PolylabelError.RectCalculation)
     val bbox = Geom.boundingRect(poly.exterior)
+    if (!java.lang.Double.isFinite(bbox.width) || !java.lang.Double.isFinite(bbox.height))
+      return Left(PolylabelError.RectCalculation)
     val cellSize = math.min(bbox.width, bbox.height)
-    if (cellSize == 0.0) return LabelResult(bbox.minX, bbox.minY, 0.0)
+    if (cellSize == 0.0) return Right(LabelResult(bbox.minX, bbox.minY, 0.0))
 
+    // reference src/lib.rs:361-363: centroid failure is a DISTINCT error.
+    // Reachable with finite bbox but overflowing shoelace accumulators
+    // (coordinates near DBL_MAX): the centroid comes out non-finite.
+    val c = Geom.centroid(poly) match {
+      case Some(p) if java.lang.Double.isFinite(p.x) && java.lang.Double.isFinite(p.y) => p
+      case _ => return Left(PolylabelError.CentroidCalculation)
+    }
+    Right(search(poly, tolerance, bbox, cellSize, c))
+  }
+
+  private def search(poly: PolygonG, tolerance: Double, bbox: Rect2,
+                     cellSize: Double, c: Pt): LabelResult = {
     var halfExtent = cellSize / 2.0
     val rings = prepare(poly)
 
     // initial guesses: polygon centroid and bbox center, with the
     // reference's seed selection (src/lib.rs:361-374)
-    val c = Geom.centroid(poly).getOrElse(Pt(bbox.centerX, bbox.centerY))
     val centroidDist = signedDistance(c.x, c.y, rings)
     val bboxDist = signedDistance(bbox.centerX, bbox.centerY, rings)
     var bestX = c.x; var bestY = c.y; var bestDist = centroidDist
@@ -313,24 +356,31 @@ object Polylabel {
       bestX = bbox.centerX; bestY = bbox.centerY; bestDist = bboxDist
     }
 
-    // seed the queue with a regular grid of cells of size cellSize
+    // seed the queue with a regular grid of cells of size cellSize.
+    // Guard the grid size: extreme aspect ratios make nx*ny exceed any
+    // sane allocation (and would overflow the Int cast) — fall back to
+    // the centroid/bbox seed alone, the same degradation as the
+    // reference's to_usize None -> empty queue path.
     val queue = new CellHeap()
     val gridCellSize = halfExtent * 2.0
     val nx = math.ceil(bbox.width / gridCellSize).toLong
     val ny = math.ceil(bbox.height / gridCellSize).toLong
-    queue.beginExtend((nx * ny).toInt)
-    var gx = 0L
-    while (gx < nx) {
-      var gy = 0L
-      while (gy < ny) {
-        val px = (bbox.minX + gx.toDouble * gridCellSize) + halfExtent
-        val py = (bbox.minY + gy.toDouble * gridCellSize) + halfExtent
-        appendCell(queue, px, py, halfExtent, rings)
-        gy += 1
+    val nCells = nx * ny
+    if (nCells > 0 && nx <= (1L << 26) && ny <= (1L << 26) && nCells <= (1L << 26)) {
+      queue.beginExtend(nCells.toInt)
+      var gx = 0L
+      while (gx < nx) {
+        var gy = 0L
+        while (gy < ny) {
+          val px = (bbox.minX + gx.toDouble * gridCellSize) + halfExtent
+          val py = (bbox.minY + gy.toDouble * gridCellSize) + halfExtent
+          appendCell(queue, px, py, halfExtent, rings)
+          gy += 1
+        }
+        gx += 1
       }
-      gx += 1
+      queue.finishExtend(nCells.toInt)
     }
-    queue.finishExtend((nx * ny).toInt)
 
     // branch-and-bound: pop the cell with the best upper bound; prune when
     // it cannot beat the current best by more than tolerance; else split

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (exact, n-gram
@@ -25,18 +25,45 @@ object Dedup {
       .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n"))
       .select("rep_id", "n")
 
-  /** All-pairs word-3-gram Jaccard >= num/den within a blocking key
-    * (lang): explode distinct shingles, self-join on shingle+block, count
-    * intersections, cross-multiply against set sizes. Output:
+  /** Word-3-gram Jaccard >= num/den within a blocking key (lang):
+    * candidate pairs from the shingle self-join, exact intersection /
+    * union verify, cross-multiplied thresholds. Output:
     * (doc_a, doc_b, inter, uni).
+    *
+    * `dfMax > 0` enables FREQUENT-SHINGLE PRUNING: only shingles whose
+    * document frequency (within the block) is <= dfMax generate candidate
+    * pairs; the verify still scores candidates on their FULL shingle
+    * sets. Without it, one hot shingle shared by 10^6 documents emits
+    * 10^12 pairs in its group — the prune caps any shingle's pair
+    * contribution at dfMax^2 (the prefix-filtering idea of the
+    * MapReduce set-similarity literature). Near-duplicate pairs share
+    * many shingles, so at any realistic threshold they still meet
+    * through their rare shingles; the exact criterion "some shared
+    * shingle has df <= dfMax" is part of the operator contract and is
+    * mirrored by the SQL oracle.
     */
-  def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int): DataFrame = {
+  def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
+                        dfMax: Int = 0): DataFrame = {
     val sh = TextOps.shingles3(docs).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("lang"), col("shingle"))
-    val inter = a.join(b, Seq("lang", "shingle"))
+    val candSh =
+      if (dfMax <= 0) sh
+      else {
+        val rare = sh.groupBy("lang", "shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") <= dfMax)
+          .select("lang", "shingle")
+        sh.join(rare, Seq("lang", "shingle"))
+      }
+    val a = candSh.select(col("doc_id").as("doc_a"), col("lang"), col("shingle"))
+    val b = candSh.select(col("doc_id").as("doc_b"), col("lang"), col("shingle"))
+    val cand = a.join(b, Seq("lang", "shingle"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify on the FULL shingle sets of the candidates only
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b2"), col("shingle").as("sb")),
+        col("doc_b") === col("doc_b2") && col("sa") === col("sb"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
     inter
@@ -109,17 +136,26 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "uni")
   }
 
-  /** 16-bit SimHash over token hashes: bit b is the sign of
-    * sum(+/-1 per token occurrence by bit b of the token hash).
+  /** 64-bit SimHash over token hashes: bit b is the sign of
+    * sum(+/-1 per token occurrence by bit b of the token hash). Two
+    * independent 32-bit multiplicative hashes supply bits 0..31 and
+    * 32..63; at web scale 16 bits collide on virtually everything, 64
+    * bits give a usable fingerprint. The sign bit's weight is
+    * Long.MinValue, summed last so every partial stays in Long range —
+    * identical two's-complement packing in any BIGINT engine.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(docs)
-      .withColumn("h", (TextOps.tokenInt(col("tok")) % P) * 48271L % 65536L)
-    val bitSums = (0 until 16).map { b =>
-      sum(shiftright(col("h"), b) % 2L * 2L - 1L).as(s"s$b")
+      .withColumn("hlo", (TextOps.tokenInt(col("tok")) % P) * 48271L % 4294967296L)
+      .withColumn("hhi", (TextOps.tokenInt(col("tok")) % P) * 69621L % 4294967296L)
+    def bitCol(b: Int): Column =
+      if (b < 32) shiftright(col("hlo"), b) else shiftright(col("hhi"), b - 32)
+    val bitSums = (0 until 64).map { b =>
+      sum(bitCol(b) % 2L * 2L - 1L).as(s"s$b")
     }
-    val packed = (0 until 16).map { b =>
-      when(col(s"s$b") > 0, 1L << b).otherwise(0L)
+    val packed = (0 until 64).map { b =>
+      val weight = if (b == 63) Long.MinValue else 1L << b
+      when(col(s"s$b") > 0, weight).otherwise(0L)
     }.reduce(_ + _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", packed)

@@ -83,18 +83,32 @@ object Similarity {
     dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Near-duplicate pairs within a blocking label: cosine >= tau via the
-    * integer cross-multiplication dot^2 * 10000 >= tau2x10000 * |a|^2 *
-    * |b|^2 (dot > 0). Output (vec_a, vec_b, dot).
+  /** Near-duplicate pairs: cosine >= tau via the integer
+    * cross-multiplication dot^2 * 10000 >= tau2x10000 * |a|^2 * |b|^2
+    * (dot > 0). Output (vec_a, vec_b, dot).
+    *
+    * Candidates are pairs sharing BOTH the blocking label and the sign-LSH
+    * bucket — the scale path: a per-label all-pairs join is quadratic in
+    * the label's population, while bucketed candidates split every label
+    * into 2^planes cells first (high-cosine pairs land in the same bucket
+    * with high probability; the bucket criterion is part of the operator
+    * contract, mirrored by the SQL oracle). The exact integer verify runs
+    * on candidates only.
     */
-  def nearDupPairs(embeddings: DataFrame, tau2x10000: Int): DataFrame = {
-    val q = quantized(embeddings)
-      .join(embeddings.select("vec_id", "label"), "vec_id").cache()
+  def nearDupPairs(embeddings: DataFrame, tau2x10000: Int,
+                   planes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = quantized(embeddings).cache()
+    val meta = lshBuckets(embeddings, planes, dim)
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+    val cand = meta.as("a").join(meta.as("b"),
+        col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val norms = q.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
-    val a = q.select(col("vec_id").as("vec_a"), col("label"), col("i"), col("q").as("qa"))
-    val b = q.select(col("vec_id").as("vec_b"), col("label"), col("i"), col("q").as("qb"))
-    val dots = a.join(b, Seq("label", "i"))
-      .where(col("vec_a") < col("vec_b"))
+    val dots = cand
+      .join(q.select(col("vec_id").as("vec_a"), col("i"), col("q").as("qa")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("i"), col("q").as("qb")),
+        Seq("vec_b", "i"))
       .groupBy("vec_a", "vec_b")
       .agg(sum(col("qa") * col("qb")).as("dot"))
     dots

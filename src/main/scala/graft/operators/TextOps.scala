@@ -17,10 +17,16 @@ object TextOps {
 
   /** Integer encoding of a short token: positional codepoint packing over
     * the first 8 chars, base 131 (ascii of out-of-range substring is 0).
+    * Each codepoint is reduced mod 131 BEFORE the positional multiply:
+    * ascii() returns the full Unicode codepoint (up to 0x10FFFF) in both
+    * Spark and DuckDB, and an unreduced codepoint times 131^7 overflows
+    * Long (silently in Spark, as a BIGINT range error in DuckDB). Reduced,
+    * the sum is bounded by 131^8 ~ 8.7e16.
     */
   def tokenInt(c: Column): Column =
     (0 until 8).map { k =>
-      ascii(substring(c, k + 1, 1)).cast("long") * lit(math.pow(131.0, k).toLong)
+      (ascii(substring(c, k + 1, 1)).cast("long") % 131L) *
+        lit(math.pow(131.0, k).toLong)
     }.reduce(_ + _)
 
   /** (doc_id, pos [1-based], tok) token stream. */

@@ -87,4 +87,38 @@ class PolylabelSpec extends AnyFunSuite {
       assert(fine.dist >= coarse.dist - 1e-12)
     }
   }
+
+  test("K15 typed surface: the two reference error codes are distinguishable") {
+    import Polylabel.PolylabelError._
+    // RectCalculation (reference src/errors.rs:11-12): infinite vertex ->
+    // non-finite signed area passes the ==0 guard, bbox width is infinite
+    val nanPoly = PolygonG(Seq((0.0, 0.0), (Double.PositiveInfinity, 0.0),
+      (1.0, 1.0), (0.0, 0.0)))
+    assert(Polylabel.polylabelEither(nanPoly, 0.1) === Left(RectCalculation))
+
+    // CentroidCalculation (src/errors.rs:9-10): finite bbox but the
+    // shoelace accumulators overflow -> non-finite centroid
+    val huge = PolygonG(Seq((1.0e300, 1.0e300), (1.7e300, 1.0e300),
+      (1.7e300, 1.7e300), (1.0e300, 1.7e300), (1.0e300, 1.0e300)))
+    assert(Polylabel.polylabelEither(huge, 0.1) === Left(CentroidCalculation))
+
+    // happy path stays Right and equals the throwing surface
+    val r = Polylabel.polylabelEither(Fixtures.ell, 0.001)
+    assert(r === Right(Polylabel.polylabel(Fixtures.ell, 0.001)))
+
+    // both errors surface as exceptions (-> NaN sentinel in SQL) on the
+    // throwing entry point
+    assertThrows[IllegalArgumentException](Polylabel.polylabel(nanPoly, 0.1))
+    assertThrows[IllegalArgumentException](Polylabel.polylabel(huge, 0.1))
+  }
+
+  test("extreme aspect ratio skips grid seeding instead of overflowing") {
+    // width/height ~ 4e16: nx*ny would overflow the Int cell-count cast;
+    // the guard must fall back to the seed, not throw/underallocate
+    val sliver = PolygonG(Seq((0.0, 0.0), (4.0e12, 0.0), (4.0e12, 1.0e-4),
+      (0.0, 1.0e-4), (0.0, 0.0)))
+    val r = Polylabel.polylabel(sliver, 1.0)
+    assert(java.lang.Double.isFinite(r.x) && java.lang.Double.isFinite(r.y))
+    assert(Geom.pointInPolygon(r.x, r.y, sliver))
+  }
 }

@@ -67,7 +67,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("simhash: near-duplicate docs have small hamming distance") {
+  test("simhash (64-bit): near-duplicate docs have small hamming distance") {
     val near = Dedup.ngramJaccardPairs(docs, 1, 2)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     assume(near.nonEmpty)
@@ -75,8 +75,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     for ((a, b) <- near) {
       val ham = java.lang.Long.bitCount(sh(a) ^ sh(b))
-      assert(ham <= 4, s"near-dup pair ($a,$b) has hamming $ham > 4")
+      assert(ham <= 16, s"near-dup pair ($a,$b) has hamming $ham > 16/64")
     }
+    // 64 bits must actually be populated (not a 16-bit hash in disguise)
+    assert(sh.values.exists(v => (v >>> 32) != 0L), "high 32 bits never set")
+  }
+
+  test("nearDupPairs (label+bucket candidates) is a subset of all-pairs truth") {
+    val got = Similarity.nearDupPairs(embeddings, 900)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "bucketed near-dup must still find the planted dups")
+    // driver-side all-pairs truth within label at the same threshold
+    val vecs = embeddings.select("vec_id", "label", "embedding")
+      .as[(Long, String, Seq[Float])].collect()
+      .map { case (id, l, v) => (id, l, v.map(f => math.round(f.toDouble * 1000.0)).toArray) }
+    val truth = (for {
+      (ia, la, va) <- vecs; (ib, lb, vb) <- vecs
+      if ia < ib && la == lb
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      if dot > 0 && dot * dot * 10000L >=
+        900L * va.map(x => x * x).sum * vb.map(x => x * x).sum
+    } yield (ia, ib)).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
   }
 
   test("quality metrics are internally consistent") {
