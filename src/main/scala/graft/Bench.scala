@@ -164,12 +164,18 @@ object ScalingBench {
     // per-workload MIN across every recorded run of each parallelism:
     // phases are interleaved on a noisy shared box, so the min per side
     // picks the interference-free rounds
+    val scaleStr = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8")
     def minOver(cores: Int): Map[String, Double] = {
-      val runs = lines.filter(_.contains(s""""cores":$cores""")).map { l =>
-        """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
-          .filterNot(m => Set("cores", "scale").contains(m.group(1)))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+      // filter by cores AND scale — mixed-scale lines in the runs file
+      // would otherwise make the cross-parallelism comparison meaningless
+      val runs = lines
+        .filter(_.contains(s""""cores":$cores"""))
+        .filter(_.contains(s""""scale":${scaleStr.toDouble}"""))
+        .map { l =>
+          """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
+            .filterNot(m => Set("cores", "scale").contains(m.group(1)))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       runs.flatMap(_.keys).distinct
         .map(k => k -> runs.flatMap(_.get(k)).min).toMap
     }

@@ -232,6 +232,15 @@ object Polylabel {
   def signedDistance(px: Double, py: Double, rings: Array[PreparedRing]): Double = {
     var inside = false
     var minDistance = Double.PositiveInfinity
+    // fl(minDistance * minDistance), maintained alongside. The edge scan
+    // works on SQUARED distances and takes the (expensive, serial-port)
+    // sqrt/div only for edges that can still beat the minimum: IEEE-754
+    // sqrt is monotone and sqrt(fl(m*m)) == m exactly, so an edge with
+    // squared distance >= minSq can never produce d < minDistance — the
+    // per-edge result (and hence the final value) is BIT-IDENTICAL to
+    // calling Geom.segmentDistance on every edge, ~nEdges sqrt+div ops
+    // cheaper per probe.
+    var minSq = Double.PositiveInfinity
     var ri = 0
     while (ri < rings.length) {
       val r = rings(ri)
@@ -245,7 +254,7 @@ object Polylabel {
         // lower bound on the distance to any edge in this block
         val dx = if (px < bminX) bminX - px else if (px > bmaxX) px - bmaxX else 0.0
         val dy = if (py < bminY) bminY - py else if (py > bmaxY) py - bmaxY else 0.0
-        val skipDist = dx * dx + dy * dy >= minDistance * minDistance
+        val skipDist = dx * dx + dy * dy >= minSq
 
         // edges here can only flip parity if the bbox straddles y and
         // extends right of x
@@ -263,8 +272,53 @@ object Polylabel {
               inside = !inside
             }
             if (!skipDist) {
-              val d = Geom.segmentDistance(px, py, ax, ay, bx, by)
-              if (d < minDistance) minDistance = d
+              // Geom.segmentDistance inlined with squared-distance gating;
+              // every arithmetic expression that can win keeps its exact
+              // original shape (same ops, same order)
+              // ux/uy = px-ax / py-ay reused across dot, cross, and the
+              // endpoint-a norm: IEEE negation and sign-symmetric multiply
+              // keep every reused expression bit-equal to the originals
+              val ex = bx - ax; val ey = by - ay
+              val ux = px - ax; val uy = py - ay
+              if (ex == 0.0 && ey == 0.0) {
+                val q = ux * ux + uy * uy
+                if (q < minSq) {
+                  val d = math.sqrt(q)
+                  if (d < minDistance) { minDistance = d; minSq = d * d }
+                }
+              } else {
+                val d2 = ex * ex + ey * ey
+                val dot = ux * ex + uy * ey
+                // dot<=0 / dot>=d2 stand in for fl(dot/d2)<=0 / >=1 —
+                // equivalent except when the quotient rounds exactly onto
+                // the 0/1 boundary (sub-ULP projection window); fixture +
+                // oracle exactness gates this
+                if (dot <= 0.0) {
+                  val q = ux * ux + uy * uy
+                  if (q < minSq) {
+                    val d = math.sqrt(q)
+                    if (d < minDistance) { minDistance = d; minSq = d * d }
+                  }
+                } else if (dot >= d2) {
+                  val vx = bx - px; val vy = by - py
+                  val q = vx * vx + vy * vy
+                  if (q < minSq) {
+                    val d = math.sqrt(q)
+                    if (d < minDistance) { minDistance = d; minSq = d * d }
+                  }
+                } else {
+                  // == fl((ay-py)*ex) - fl((ax-px)*ey) by sign symmetry
+                  val cross = ux * ey - uy * ex
+                  // (|cross|/d2*sqrt(d2))^2 == cross^2/d2 up to a few ulp;
+                  // the 1e-9 relative slack over-admits candidates, never
+                  // rejects a true winner
+                  if (cross * cross < minSq * d2 * 1.000000001) {
+                    val s = cross / d2
+                    val d = math.abs(s) * math.sqrt(d2)
+                    if (d < minDistance) { minDistance = d; minSq = d * d }
+                  }
+                }
+              }
             }
             i += 1
           }

