@@ -144,9 +144,12 @@ object ScalingBench {
     // spill on partitions 4x the size, distorting the comparison
     val spark = GraftSession.create(s"local[$cores]", 128, s"graft-scale-$cores")
     BenchWorkloads.runAll(spark, sfDir, scale / 8.0, headline) // warm-up (JIT, page cache)
-    // min of 3 measured passes: robust against transient co-tenant
-    // interference on the shared box (observed: one pass 10x off)
-    val passes = (1 to 3).map(_ => BenchWorkloads.runAll(spark, sfDir, scale, headline))
+    // min of several measured passes: robust against transient co-tenant
+    // interference on the shared box (observed: the SAME binary varies
+    // 6 s vs 37 s minutes apart — interference only ever ADDS time, so
+    // minimums over many interleaved rounds estimate the quiet-box value)
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAll(spark, sfDir, scale, headline))
     val r = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
     spark.stop()
     val qs = r.toSeq.sortBy(_._1)

@@ -121,9 +121,15 @@ object SpatialJoins {
     val cellH = CellIndex.SpanY / CellIndex.gridSize(level).toDouble
     val minDim = math.min(cellW, cellH)
 
+    // materialized once: every round (and the fallback) rebuilds its
+    // broadcast from `lab`, and without the cache each build re-runs the
+    // label-side lineage (often a polylabel computation) as its own
+    // serial-ish job — measured as part of the operator's
+    // parallelism-insensitive cost
     val lab = labels
       .withColumn("lcell", cell_of(col("lx"), col("ly"), lit(level)))
       .select("poly_id", "lx", "ly", "lcell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // rank on SQUARED distance (exact arithmetic — products and sums only),
     // so rankings are reproducible bit-for-bit by any engine; sqrt only for
@@ -181,24 +187,27 @@ object SpatialJoins {
             .drop("lcell")
           unresolved.join(labRinged, col("pcell") === col("rcell")).drop("rcell")
         }
-      // persisted: `ranked` feeds both the resolution test and the output;
-      // trimmed to the output columns so the cached footprint stays small.
-      // No separate count: computing `next` below materializes ranked
-      // into its cache as a side effect (kth reads it first).
+      // One window pass carries BOTH the ranking and the resolution proof:
+      // after the <= rad2 prune, a point is resolved iff it has >= k
+      // surviving candidates (their kth is <= r*minDim by construction),
+      // so `count() over (partition by point_id)` replaces the separate
+      // kth-aggregate stage and the resolved-semi-join stage — the same
+      // exchange serves row_number and the count, and the resolved rows
+      // select straight out of the cached frame. Fewer stages = less
+      // driver-serial AQE planning, the measured parallelism-insensitive
+      // cost of this operator.
       val rad2 = (r * minDim) * (r * minDim)
+      val wc = Window.partitionBy("point_id")
       val ranked = topk(cand, Some(rad2))
-        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
+        .withColumn("n_cand", count(lit(1)).over(wc))
+        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank", "n_cand")
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // with the <= rad2 prune, >= k survivors IS the resolution proof
-      // (their kth is <= r*minDim by construction); the kth check stays as
-      // a cheap invariant guard
-      val kth = ranked.groupBy("point_id")
-        .agg(max(col("d2")).as("kth_d2"), count(lit(1)).as("n_cand"))
-        .where(col("n_cand") >= k && col("kth_d2") <= lit(rad2))
-        .select(col("point_id").as("ok_id"))
-      resolvedParts ::= ranked.join(kth, ranked("point_id") === kth("ok_id"), "left_semi")
+      resolvedParts ::= ranked.where(col("n_cand") >= k)
+        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
       rankedHandles += ranked
-      val next = unresolved.join(kth, unresolved("point_id") === kth("ok_id"), "left_anti")
+      val okIds = ranked.where(col("rank") === 1 && col("n_cand") >= k)
+        .select(col("point_id").as("ok_id"))
+      val next = unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
       nLeft = next.count()
       // both consumers of the superseded round (this ranked, next
@@ -206,15 +215,22 @@ object SpatialJoins {
       unresolved.unpersist(blocking = false)
       unresolved = next
     }
-    // fallback: whatever is left (isolated points) against all labels
-    val leftover = unresolved.crossJoin(if (broadcastLabels) broadcast(lab) else lab)
-    val fallback = topk(leftover.drop("lcell"), None)
-      .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
-    val result = (fallback :: resolvedParts).reduce(_ unionByName _)
+    // fallback: whatever is left (isolated points) against all labels —
+    // skipped outright when the rounds resolved everything (the empty
+    // cross join still costs a window stage otherwise)
+    val parts =
+      if (nLeft == 0) resolvedParts
+      else {
+        val leftover = unresolved.crossJoin(if (broadcastLabels) broadcast(lab) else lab)
+        topk(leftover.drop("lcell"), None)
+          .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank") :: resolvedParts
+      }
+    val result = parts.reduce(_ unionByName _)
       .persist(StorageLevel.MEMORY_AND_DISK)
     result.count()
     rankedHandles.foreach(_.unpersist(blocking = false))
     unresolved.unpersist(blocking = false)
+    lab.unpersist(blocking = false)
     result
   }
 }

