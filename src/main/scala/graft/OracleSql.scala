@@ -413,6 +413,41 @@ object OracleSql {
          |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    "q_embed_ann_mp" ->
+      s"""WITH $quantCte,
+         |wts AS (
+         |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
+         |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
+         |  FROM range(0, 8) j, range(0, 64) i),
+         |proj AS (
+         |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
+         |  FROM qv JOIN wts ON qv.i = wts.i
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |qp AS (
+         |  SELECT bk.vec_id AS query_id,
+         |         CASE WHEN p.range = -1 THEN bucket
+         |              ELSE xor(bucket, (CAST(1 AS BIGINT) << CAST(p.range AS INT))) END AS bucket
+         |  FROM bk, range(-1, 8) p WHERE bk.vec_id < 10),
+         |cand AS (
+         |  SELECT qp.query_id, b.vec_id
+         |  FROM qp JOIN bk b ON qp.bucket = b.bucket AND qp.query_id <> b.vec_id),
+         |dots AS (
+         |  SELECT c.query_id, c.vec_id, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qv qa ON qa.vec_id = c.query_id
+         |  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, vec_id, dot,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM dots)
+         |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_embed_neardup" ->
       s"""WITH $quantCte,
          |wts AS (

@@ -205,6 +205,13 @@ object SparkEntry {
       Similarity.annTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3)
         .orderBy("query_id", "rank")),
 
+    // multi-probe variant: each query also probes the buckets one
+    // plane-flip away (recall fix for near-neighbours straddling a
+    // hyperplane); oracle mirrors the 9-bucket probe exactly
+    "q_embed_ann_mp" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3,
+        multiProbe = true).orderBy("query_id", "rank")),
+
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau2x10000 = 900)
         .orderBy("vec_a", "vec_b")),

@@ -60,16 +60,36 @@ object Similarity {
     bits.groupBy("vec_id").agg(sum("bit").as("bucket"))
   }
 
-  /** ANN top-k: candidates share the query's LSH bucket; exact integer
-    * dot re-ranks within the bucket. Output (query_id, vec_id, dot, rank).
-    * The scale path: bucket join instead of all-pairs.
+  /** ANN top-k: candidates share one of the query's probe buckets; exact
+    * integer dot re-ranks within the candidates. Output
+    * (query_id, vec_id, dot, rank). The scale path: bucket equi-join
+    * instead of all-pairs.
+    *
+    * `multiProbe` widens each QUERY to its bucket plus all buckets at
+    * Hamming distance 1 (flip each plane bit once) — the classic
+    * multi-probe LSH recall fix: a near-neighbour straddling one
+    * hyperplane lands one bit away, and single-probe misses it. Only the
+    * query side fans out (x planes+1 rows), the data side stays one row
+    * per vector, and the join stays an equi-join on the bucket key.
     */
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              planes: Int = 8, dim: Int = 64): DataFrame = {
+              planes: Int = 8, dim: Int = 64,
+              multiProbe: Boolean = false): DataFrame = {
     val buckets = lshBuckets(embeddings, planes, dim).cache()
     val q = quantized(embeddings).cache()
-    val queries = buckets.where(col("vec_id") < nQueries)
+    val queries0 = buckets.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
+    val queries =
+      if (!multiProbe) queries0
+      else queries0
+        .withColumn("j", explode(lit((-1 until planes).toArray)))
+        .withColumn("bucket",
+          when(col("j") === -1, col("bucket"))
+            .otherwise(expr("bucket ^ shiftleft(CAST(1 AS BIGINT), j)")))
+        .select("query_id", "bucket")
+    // no distinct needed: the probe buckets of a query are all distinct
+    // values and each data vector has exactly one bucket, so a pair can
+    // match through at most one probe
     val candPairs = queries.join(buckets, "bucket")
       .where(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")

@@ -49,7 +49,13 @@ object GeoTables {
                         minX: Double = -20.0, minY: Double = 30.0,
                         spanX: Double = 40.0, spanY: Double = 30.0): Dataset[PolyRow] = {
     import spark.implicits._
-    val ids = spark.range(n.toLong)
+    // many small partitions, NOT one-per-core: per-row cost varies ~100x
+    // (6..512 vertices), and at n/cores rows per partition a straggler
+    // holding a few 512-vertex polygons serializes the whole table build
+    // (measured: the 2000-poly dimension table took the same 2.5 s wall at
+    // 8 and at 32 cores). Fine-grained ranges let the scheduler re-balance.
+    val slices = math.max(64, 8 * spark.sparkContext.defaultParallelism)
+    val ids = spark.range(0L, n.toLong, 1L, math.min(n.max(1), slices))
     ids.mapPartitions { it =>
       it.map { boxed =>
         val id = boxed.longValue
@@ -64,18 +70,27 @@ object GeoTables {
     }
   }
 
-  /** `n` deterministic points over the same window (join probe side). */
+  /** `n` deterministic points over the same window (join probe side).
+    * Generated ENTIRELY inside whole-stage codegen (range -> xxhash64 ->
+    * arithmetic): the previous typed-map version allocated a
+    * java.util.Random plus a case-class object per row, and at 10^8 rows
+    * the GC threads compete with the worker threads — measured as a
+    * systematic scaling-efficiency penalty at high parallelism (idle cores
+    * absorb GC at low parallelism, none are spare at high).
+    */
   def syntheticPoints(spark: SparkSession, n: Long, seed: Long = 7L,
                       minX: Double = -20.0, minY: Double = 30.0,
                       spanX: Double = 40.0, spanY: Double = 30.0): Dataset[PointRow] = {
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    spark.range(n).mapPartitions { it =>
-      it.map { boxed =>
-        val id = boxed.longValue
-        val rng = new scala.util.Random(seed ^ (id * 0x5DEECE66DL + 0xBL))
-        PointRow(id, minX + rng.nextDouble() * spanX, minY + rng.nextDouble() * spanY)
-      }
-    }
+    val M = 1000000000L
+    def unit(salt: Long) =
+      pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(M)).cast("double") / M.toDouble
+    spark.range(n).select(
+      col("id").as("point_id"),
+      (lit(minX) + unit(1L) * spanX).as("x"),
+      (lit(minY) + unit(2L) * spanY).as("y")
+    ).as[PointRow]
   }
 
   /** GeoJSON reader (SURVEY.md E2): one `polygons`-shaped row per Polygon

@@ -64,28 +64,53 @@ object Images {
     img
   }
 
+  // Codec instances are cached per thread: ImageIO.read/write and
+  // getImageWritersByFormatName consult the IIORegistry (synchronized
+  // service lookup) on EVERY call — at ~10 codec instantiations per image
+  // across 32 executor threads the registry lock serializes the tiling
+  // path. Writers/readers are reusable across calls on one thread.
+  private val jpegWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() => ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() => ImageIO.getImageWritersByFormatName("png").next())
+  private val jpegReaderTL: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() => ImageIO.getImageReadersByFormatName("jpeg").next())
+  private val pngReaderTL: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() => ImageIO.getImageReadersByFormatName("png").next())
+
   /** Encode with explicit JPEG quality (0.92) so the double-compression of
     * the tiling round-trip stays above the 40 dB gate; PNG is lossless.
     */
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
+    val writer = if (fmt == "jpg") jpegWriterTL.get() else pngWriterTL.get()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
     if (fmt == "jpg") {
-      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-      val ios = ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
       val p = writer.getDefaultWriteParam
       p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
       p.setCompressionQuality(0.92f)
       writer.write(null, new IIOImage(img, null, null), p)
-      writer.dispose(); ios.close()
     } else {
-      ImageIO.write(img, fmt, bos)
+      writer.write(new IIOImage(img, null, null))
     }
+    ios.close()
     bos.toByteArray
   }
 
-  def decode(bytes: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(bytes))
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    // sniff the two formats this table uses (PNG signature: 0x89 'P');
+    // fall back to the registry path for anything else
+    if (bytes.length > 1 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte) {
+      val r = pngReaderTL.get()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      r.setInput(iis); val img = r.read(0); iis.close(); img
+    } else if (bytes.length > 1 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+      val r = jpegReaderTL.get()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      r.setInput(iis); val img = r.read(0); iis.close(); img
+    } else ImageIO.read(new ByteArrayInputStream(bytes))
+  }
 
   /** 64-bit average-hash: 8x8 downsampled luma thresholded at its mean. */
   def phash(img: BufferedImage): Long = {
