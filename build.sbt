@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on this 128 GiB box: at 32 executor threads an 8g heap
+  // makes GC compete with the workers. ParallelGC measured equal-or-
+  // better than G1 on every workload here (throughput-batch profile).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
