@@ -560,6 +560,23 @@ object OracleSql {
         |FROM customer WHERE c_custkey % 16 >= 8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT t.range AS id,
+        |         'med-' || lpad(CAST(t.range AS VARCHAR), 8, '0') AS media_id,
+        |         CASE WHEN t.range % 2 = 0 THEN 'audio' ELSE 'video' END AS kind,
+        |         CASE WHEN t.range % 2 = 0 THEN 0
+        |              ELSE CAST(25 * (1 + t.range % 10) AS INT) END AS n_frames,
+        |         CASE WHEN t.range % 2 = 0 THEN 1000 + (t.range % 9000)
+        |              ELSE (1 + t.range % 10) * 1000 END AS duration_ms
+        |  FROM range(0, 500) t)
+        |SELECT media_id, kind, n_frames, duration_ms,
+        |       CASE WHEN kind = 'video' THEN CAST(ceil(n_frames / 7.0) AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS n_frames_sampled,
+        |       CASE WHEN kind = 'audio' THEN CAST(8 AS BIGINT)
+        |            ELSE CAST(0 AS BIGINT) END AS n_windows
+        |FROM m ORDER BY media_id""".stripMargin,
+
     "q_phash_groups" ->
       """WITH imgs AS (
         |  SELECT t.range AS id,

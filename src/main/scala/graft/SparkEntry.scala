@@ -317,6 +317,25 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // ---- multimodal plumbing: frame sampling + audio windowing ----------
+    // Counts and metadata are closed-form in the id (SQL-derivable); the
+    // payload-derived features (energy, zero-crossings) stay spec-only —
+    // the decode stubs never touch the oracle path.
+    "q_multimodal" -> ((s, _) => {
+      val media = graft.sources.Multimodal.table(s, 500)
+      val frames = graft.sources.Multimodal.frameSample(media, everyN = 7)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
+      val feats = graft.sources.Multimodal.audioFeatures(media, windows = 8)
+        .groupBy("media_id").agg(count(lit(1)).as("n_windows"))
+      media.toDF.select(col("media_id"), col("kind"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
+        .join(frames, Seq("media_id"), "left")
+        .join(feats, Seq("media_id"), "left")
+        .na.fill(Map("n_frames_sampled" -> 0L, "n_windows" -> 0L))
+        .orderBy("media_id")
+    }),
+
     // ---- Structured Streaming (E17): file stream == batch oracle ---------
     // The events table replayed through readStream with an AvailableNow
     // trigger and a tumbling event-time window; epoch-aligned windows mean
