@@ -122,6 +122,28 @@ object OracleSql {
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  private val knnJoinOracle: String =
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS point_id,
+       |         ((c_custkey % 360) / 10.0 - 18.0) AS x,
+       |         ((c_custkey * 7 % 180) / 10.0 - 9.0) AS y
+       |  FROM customer),
+       |lab AS (
+       |  SELECT 's' || s_suppkey AS poly_id,
+       |         ((s_suppkey * 13 % 360) / 10.0 - 18.0) AS lx,
+       |         ((s_suppkey * 29 % 180) / 10.0 - 9.0) AS ly
+       |  FROM supplier),
+       |d AS (
+       |  SELECT point_id, poly_id,
+       |         (x - lx) * (x - lx) + (y - ly) * (y - ly) AS d2
+       |  FROM pts, lab),
+       |rk AS (
+       |  SELECT point_id, poly_id,
+       |         row_number() OVER (PARTITION BY point_id ORDER BY d2, poly_id) AS rank
+       |  FROM d)
+       |SELECT point_id, poly_id, rank FROM rk WHERE rank <= 3
+       |ORDER BY point_id, rank""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q_polylabel_fixtures" ->
@@ -164,27 +186,8 @@ object OracleSql {
     "q_pip_join" -> pipJoinOracle,
     "q_salted_join" -> pipJoinOracle,
 
-    "q_knn_join" ->
-      s"""WITH pts AS (
-         |  SELECT c_custkey AS point_id,
-         |         ((c_custkey % 360) / 10.0 - 18.0) AS x,
-         |         ((c_custkey * 7 % 180) / 10.0 - 9.0) AS y
-         |  FROM customer),
-         |lab AS (
-         |  SELECT 's' || s_suppkey AS poly_id,
-         |         ((s_suppkey * 13 % 360) / 10.0 - 18.0) AS lx,
-         |         ((s_suppkey * 29 % 180) / 10.0 - 9.0) AS ly
-         |  FROM supplier),
-         |d AS (
-         |  SELECT point_id, poly_id,
-         |         (x - lx) * (x - lx) + (y - ly) * (y - ly) AS d2
-         |  FROM pts, lab),
-         |rk AS (
-         |  SELECT point_id, poly_id,
-         |         row_number() OVER (PARTITION BY point_id ORDER BY d2, poly_id) AS rank
-         |  FROM d)
-         |SELECT point_id, poly_id, rank FROM rk WHERE rank <= 3
-         |ORDER BY point_id, rank""".stripMargin,
+    "q_knn_join" -> knnJoinOracle,
+    "q_knn_join_part" -> knnJoinOracle,
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

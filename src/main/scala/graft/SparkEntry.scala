@@ -104,6 +104,25 @@ object SparkEntry {
         .orderBy("point_id", "rank")
     }),
 
+    // cell-partitioned kNN (no label broadcast — labels replicated into
+    // their own cell ring, shuffle equi-join): identical truth, so it
+    // shares the q_knn_join oracle
+    "q_knn_join_part" -> ((s, dir) => {
+      g(s)
+      val points = t(s, dir, "customer")
+        .select(col("c_custkey").as("point_id"),
+          ((col("c_custkey") % 360) / 10.0 - 18.0).as("x"),
+          ((col("c_custkey") * 7 % 180) / 10.0 - 9.0).as("y"))
+      val labels = t(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
+          ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
+          ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
+      SpatialJoins.knnJoin(points, labels, k = 3, level = 7,
+        broadcastLabels = false)
+        .select(col("point_id"), col("poly_id"), col("rank"))
+        .orderBy("point_id", "rank")
+    }),
+
     // ---- aggregation (E12): TPC-H Q1 shape, decimal-exact sums ---------
     // Fixed-point BIGINT output (milli-units): Spark renders sum(decimal)
     // as decimal(28,3), DuckDB as decimal(38,3) — same values, different
