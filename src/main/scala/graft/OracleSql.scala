@@ -56,7 +56,9 @@ object OracleSql {
     }.mkString(" + ")
 
   /** Token stream with ordinal (constant-bound range + filter — DuckDB's
-    * range() can't be laterally correlated).
+    * range() can't be laterally correlated). The 1..511 bound IS the
+    * operator contract (TextOps.MaxTokens): both engines consider exactly
+    * the first 511 tokens of a document.
     */
   private val toksCte =
     """toks AS (

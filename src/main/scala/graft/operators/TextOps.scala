@@ -29,9 +29,20 @@ object TextOps {
         lit(math.pow(131.0, k).toLong)
     }.reduce(_ + _)
 
-  /** (doc_id, pos [1-based], tok) token stream. */
+  /** Tokens considered per document — an explicit operator contract, not
+    * an implementation detail: it caps the explode fan-out of a
+    * pathological mega-document (a 1 GB row would otherwise emit 10^8
+    * token rows into every downstream shuffle), and the SQL oracles bound
+    * their token ordinals to the same constant.
+    */
+  final val MaxTokens = 511
+
+  /** (doc_id, pos [1-based], tok) token stream over the first MaxTokens
+    * tokens.
+    */
   def tokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+    docs.select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, MaxTokens)))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
 
   /** Distinct word-3-gram shingles per document, with the doc's blocking
