@@ -29,6 +29,31 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("pipJoin auto mode routes file-backed oversized polygon tables to sort-merge") {
+    // write the polygon table to parquet so the optimizer has REAL size
+    // stats, then shrink the broadcast threshold until the auto heuristic
+    // (stats > 16x threshold) must refuse to broadcast
+    val dir = java.nio.file.Files.createTempDirectory("graft_polyfile_").toString
+    polys.write.mode("overwrite").parquet(dir)
+    val filePolys = spark.read.parquet(dir)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64") // bytes
+      val joined = SpatialJoins.pipJoin(points, filePolys, 9)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"auto mode must fall back to a shuffle join for oversized file-backed tables:\n$plan")
+      // and the fallback path is still correct
+      val brute = points.crossJoin(polys)
+        .where(pip($"x", $"y", $"exterior", $"holes"))
+        .select($"point_id", $"poly_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = joined.select($"point_id", $"poly_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === brute)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("pipJoinSalted == brute force") {
     val brute = points.crossJoin(polys)
       .where(pip($"x", $"y", $"exterior", $"holes"))
