@@ -171,9 +171,11 @@ object ScalingBench {
     def minOver(cores: Int): Map[String, Double] = {
       // filter by cores AND scale — mixed-scale lines in the runs file
       // would otherwise make the cross-parallelism comparison meaningless
+      // trailing comma anchors the match — bare contains would let
+      // "cores":8 also match cores 80, and "scale":8.0 match 8.05
       val runs = lines
-        .filter(_.contains(s""""cores":$cores"""))
-        .filter(_.contains(s""""scale":${scaleStr.toDouble}"""))
+        .filter(_.contains(s""""cores":$cores,"""))
+        .filter(_.contains(s""""scale":${scaleStr.toDouble},"""))
         .map { l =>
           """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
             .filterNot(m => Set("cores", "scale").contains(m.group(1)))

@@ -88,6 +88,24 @@ object OracleSql {
       |         CAST(round(CAST(embedding[CAST(t.range AS INT) + 1] AS DOUBLE) * 1000.0) AS BIGINT) AS q
       |  FROM embeddings, range(0, 64) t)""".stripMargin
 
+  /** Sign-LSH bucket per vector (= Similarity.lshBuckets with 8 planes
+    * over 64 dims) — shared by q_embed_ann, q_embed_ann_mp, and
+    * q_embed_neardup so the plane-weight closed form lives in ONE place.
+    */
+  private val lshCte =
+    """wts AS (
+      |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
+      |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
+      |  FROM range(0, 8) j, range(0, 64) i),
+      |proj AS (
+      |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
+      |  FROM qv JOIN wts ON qv.i = wts.i
+      |  GROUP BY 1, 2),
+      |bk AS (
+      |  SELECT vec_id,
+      |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
+      |  FROM proj GROUP BY vec_id)""".stripMargin
+
   private val rectCte =
     """rects AS (
       |  SELECT 'r' || p_partkey AS poly_id,
@@ -389,18 +407,7 @@ object OracleSql {
 
     "q_embed_ann" ->
       s"""WITH $quantCte,
-         |wts AS (
-         |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
-         |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
-         |  FROM range(0, 8) j, range(0, 64) i),
-         |proj AS (
-         |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
-         |  FROM qv JOIN wts ON qv.i = wts.i
-         |  GROUP BY 1, 2),
-         |bk AS (
-         |  SELECT vec_id,
-         |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
-         |  FROM proj GROUP BY vec_id),
+         |$lshCte,
          |cand AS (
          |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket
@@ -420,18 +427,7 @@ object OracleSql {
 
     "q_embed_ann_mp" ->
       s"""WITH $quantCte,
-         |wts AS (
-         |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
-         |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
-         |  FROM range(0, 8) j, range(0, 64) i),
-         |proj AS (
-         |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
-         |  FROM qv JOIN wts ON qv.i = wts.i
-         |  GROUP BY 1, 2),
-         |bk AS (
-         |  SELECT vec_id,
-         |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
-         |  FROM proj GROUP BY vec_id),
+         |$lshCte,
          |qp AS (
          |  SELECT bk.vec_id AS query_id,
          |         CASE WHEN p.range = -1 THEN bucket
@@ -455,18 +451,7 @@ object OracleSql {
 
     "q_embed_neardup" ->
       s"""WITH $quantCte,
-         |wts AS (
-         |  SELECT CAST(j.range AS INT) AS j, CAST(i.range AS INT) AS i,
-         |         ((j.range * 64 + i.range) * 2654435761 % 2001) - 1000 AS w
-         |  FROM range(0, 8) j, range(0, 64) i),
-         |proj AS (
-         |  SELECT qv.vec_id, wts.j, sum(qv.q * wts.w) AS proj
-         |  FROM qv JOIN wts ON qv.i = wts.i
-         |  GROUP BY 1, 2),
-         |bk AS (
-         |  SELECT vec_id,
-         |         sum(CASE WHEN proj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bucket
-         |  FROM proj GROUP BY vec_id),
+         |$lshCte,
          |meta AS (
          |  SELECT e.vec_id, e.label, bk.bucket
          |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),

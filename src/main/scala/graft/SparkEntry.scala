@@ -89,39 +89,12 @@ object SparkEntry {
     }),
 
     // ---- kNN join via cell-ring expansion (E9) -------------------------
-    "q_knn_join" -> ((s, dir) => {
-      g(s)
-      val points = t(s, dir, "customer")
-        .select(col("c_custkey").as("point_id"),
-          ((col("c_custkey") % 360) / 10.0 - 18.0).as("x"),
-          ((col("c_custkey") * 7 % 180) / 10.0 - 9.0).as("y"))
-      val labels = t(s, dir, "supplier")
-        .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
-          ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
-          ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
-      SpatialJoins.knnJoin(points, labels, k = 3, level = 7)
-        .select(col("point_id"), col("poly_id"), col("rank"))
-        .orderBy("point_id", "rank")
-    }),
+    "q_knn_join" -> ((s, dir) => knnQuery(s, dir, broadcastLabels = true)),
 
     // cell-partitioned kNN (no label broadcast — labels replicated into
     // their own cell ring, shuffle equi-join): identical truth, so it
     // shares the q_knn_join oracle
-    "q_knn_join_part" -> ((s, dir) => {
-      g(s)
-      val points = t(s, dir, "customer")
-        .select(col("c_custkey").as("point_id"),
-          ((col("c_custkey") % 360) / 10.0 - 18.0).as("x"),
-          ((col("c_custkey") * 7 % 180) / 10.0 - 9.0).as("y"))
-      val labels = t(s, dir, "supplier")
-        .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
-          ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
-          ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
-      SpatialJoins.knnJoin(points, labels, k = 3, level = 7,
-        broadcastLabels = false)
-        .select(col("point_id"), col("poly_id"), col("rank"))
-        .orderBy("point_id", "rank")
-    }),
+    "q_knn_join_part" -> ((s, dir) => knnQuery(s, dir, broadcastLabels = false)),
 
     // ---- aggregation (E12): TPC-H Q1 shape, decimal-exact sums ---------
     // Fixed-point BIGINT output (milli-units): Spark renders sum(decimal)
@@ -248,7 +221,7 @@ object SparkEntry {
     // ---- GeoJSON scan (E2): FeatureCollection file -> flattened rings ---
     "q_geojson" -> ((s, _) => {
       g(s)
-      val dir = java.nio.file.Files.createTempDirectory("graft_gj_")
+      val dir = java.nio.file.Paths.get(tempDir("graft_gj_"))
       java.nio.file.Files.writeString(dir.resolve("fc.geojson"), geoJsonLiteral)
       val polys = GeoTables.readGeoJson(s, dir.toString)
       val ext = polys.select(col("poly_id"), lit(0).as("ring"),
@@ -305,7 +278,7 @@ object SparkEntry {
     // bucket expression is a modular key (not xxhash64) so the oracle can
     // re-derive the per-bucket row counts the lineage table records.
     "q_sink_metrics" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+      val tmp = tempDir("graft_sink_")
       val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
       graft.sources.IcebergLite.run(c, Seq("c_custkey"), buckets = 16,
         bucketsPerWave = 4, tableDir = tmp,
@@ -321,7 +294,7 @@ object SparkEntry {
     // holds exactly the rows whose bucket >= 8.
     "q_resume" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_resume_").toString
+      val tmp = tempDir("graft_resume_")
       (0 until 8).toDF("bucket")
         .withColumn("rows", lit(0L)).withColumn("checksum", lit(0L))
         .withColumn("wall_ms", lit(0L)).withColumn("snapshot_id", lit(0L))
@@ -341,7 +314,9 @@ object SparkEntry {
     // payload-derived features (energy, zero-crossings) stay spec-only —
     // the decode stubs never touch the oracle path.
     "q_multimodal" -> ((s, _) => {
-      val media = graft.sources.Multimodal.table(s, 500)
+      // cached: three consumers (metadata select, frame sampling, audio
+      // windowing) would otherwise regenerate all payloads per branch
+      val media = graft.sources.Multimodal.table(s, 500).cache()
       val frames = graft.sources.Multimodal.frameSample(media, everyN = 7)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
       val feats = graft.sources.Multimodal.audioFeatures(media, windows = 8)
@@ -368,7 +343,7 @@ object SparkEntry {
       val streamDir =
         if (java.nio.file.Files.isDirectory(src)) src
         else {
-          val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+          val d = java.nio.file.Paths.get(tempDir("graft_stream_"))
           java.nio.file.Files.createSymbolicLink(d.resolve("events.parquet"), src)
           d
         }
@@ -409,6 +384,44 @@ object SparkEntry {
       lit(null).cast(graft.functions.GeomEncoding.holesType).as("holes"),
       lit(0.01).as("tolerance"),
       col("cx"), col("cy"), col("hw"), col("hh"))
+  }
+
+  /** Shared body of q_knn_join / q_knn_join_part — one derivation of the
+    * point/label tables, two execution strategies, one oracle.
+    */
+  private def knnQuery(s: SparkSession, dir: String,
+                       broadcastLabels: Boolean): DataFrame = {
+    g(s)
+    val points = t(s, dir, "customer")
+      .select(col("c_custkey").as("point_id"),
+        ((col("c_custkey") % 360) / 10.0 - 18.0).as("x"),
+        ((col("c_custkey") * 7 % 180) / 10.0 - 9.0).as("y"))
+    val labels = t(s, dir, "supplier")
+      .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
+        ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
+        ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
+    SpatialJoins.knnJoin(points, labels, k = 3, level = 7,
+      broadcastLabels = broadcastLabels)
+      .select(col("point_id"), col("poly_id"), col("rank"))
+      .orderBy("point_id", "rank")
+  }
+
+  /** Temp dir for query-side scratch output, removed on JVM exit so
+    * repeated driver checks in one session don't accumulate copies.
+    */
+  private def tempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(c => rm(c)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }))
+    d.toString
   }
 
   /** Deterministic GeoJSON FeatureCollection literal (E2 driver query):

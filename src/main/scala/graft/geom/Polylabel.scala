@@ -311,8 +311,12 @@ object Polylabel {
                   val cross = ux * ey - uy * ex
                   // (|cross|/d2*sqrt(d2))^2 == cross^2/d2 up to a few ulp;
                   // the 1e-9 relative slack over-admits candidates, never
-                  // rejects a true winner
-                  if (cross * cross < minSq * d2 * 1.000000001) {
+                  // rejects a true winner. cross^2 can overflow to +Inf
+                  // for ~1e160-scale coordinates while cross/d2 is still
+                  // finite — an overflowed gate must ADMIT (compute the
+                  // exact distance), not skip the edge.
+                  val cc = cross * cross
+                  if (cc < minSq * d2 * 1.000000001 || cc == Double.PositiveInfinity) {
                     val s = cross / d2
                     val d = math.abs(s) * math.sqrt(d2)
                     if (d < minDistance) { minDistance = d; minSq = d * d }

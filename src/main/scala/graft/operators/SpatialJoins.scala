@@ -43,9 +43,15 @@ object SpatialJoins {
               broadcastPolygons: Option[Boolean] = None): DataFrame = {
     val spark = points.sparkSession
     val doBroadcast = broadcastPolygons.getOrElse {
-      val sz = polygons.queryExecution.optimizedPlan.stats.sizeInBytes
-      val cap = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold.max(1L)) * 16
-      sz >= BigInt(Long.MaxValue) / 2 || sz <= cap
+      val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+      if (thr <= 0) false // user disabled broadcasting entirely — honor it
+      else {
+        val sz = polygons.queryExecution.optimizedPlan.stats.sizeInBytes
+        // unknown stats (defaultSizeInBytes ~ Long.MaxValue) read as the
+        // dimension-table assumption; a caller with a genuinely huge
+        // stats-less table must pass Some(false)
+        sz >= BigInt(Long.MaxValue) / 2 || sz <= BigInt(thr) * 16
+      }
     }
     val pts = points.withColumn("cell_id", cell_of(col("x"), col("y"), lit(level)))
     val joined = if (doBroadcast) {

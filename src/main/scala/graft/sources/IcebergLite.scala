@@ -60,10 +60,19 @@ object IcebergLite {
     * caller-supplied expression (must be deterministic, int, in
     * [0, buckets)) — e.g. a modular key that an external auditor can
     * re-derive.
+    *
+    * `verifyWaveClosure` (default true) FAILS LOUDLY if the transform
+    * emits rows whose bucket is null or outside the current wave — such
+    * rows would otherwise dynamic-partition-overwrite committed buckets
+    * (or be silently dropped by the re-pin filter below), and lineage
+    * would never notice. The check costs one extra pass over the
+    * transform output per wave; callers whose transforms provably
+    * preserve the bucket column may disable it.
     */
   def run(input: DataFrame, keyCols: Seq[String], buckets: Int,
           bucketsPerWave: Int, tableDir: String,
-          bucketExpr: Option[org.apache.spark.sql.Column] = None)
+          bucketExpr: Option[org.apache.spark.sql.Column] = None,
+          verifyWaveClosure: Boolean = true)
          (transform: DataFrame => DataFrame): Seq[Int] = {
     val spark = input.sparkSession
     import spark.implicits._
@@ -87,6 +96,16 @@ object IcebergLite {
       val raw = transform(slice)
       require(raw.columns.contains("bucket"),
         "transform must preserve the bucket column")
+      if (verifyWaveClosure) {
+        val foreign = raw
+          .where(col("bucket").isNull || !col("bucket").isin(wave: _*))
+          .limit(1).collect()
+        require(foreign.isEmpty,
+          s"transform emitted bucket ${foreign.headOption.map(_.getAs[Any]("bucket"))} " +
+            s"outside wave ${wave.mkString("[", ",", "]")} — refusing to overwrite " +
+            "committed partitions behind the lineage's back")
+      }
+      // re-pin as belt-and-braces even when verified (same plan shape)
       val out = raw.where(col("bucket").isin(wave: _*))
       out.write.mode(SaveMode.Overwrite)
         .partitionBy("bucket")

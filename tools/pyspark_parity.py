@@ -11,8 +11,10 @@ Run (driver-side tooling only — pyspark is not a library dependency):
     sbt -batch package
     python3 tools/pyspark_parity.py
 
-Expected output: the ell-fixture label (0.5625, 0.5625) — the reference's
-own assert value (reference src/lib.rs:477-501, tests/ell.geojson).
+Expected output: the exact center (2.0, 2.0) with clearance 2.0 for an
+axis-aligned 4x4 square — for that shape the centroid seed is already
+optimal at any tolerance, so the label is provably exact (the same
+invariant the Scala TilingSpec pins).
 """
 import glob
 import os
