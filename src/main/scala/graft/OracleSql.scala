@@ -342,7 +342,7 @@ object OracleSql {
          |th AS (
          |  SELECT doc_id,
          |         ((${tokenInt("tok")}) % 1000000007) * 48271 % 4294967296 AS hlo,
-         |         ((${tokenInt("tok")}) % 1000000007) * 69621 % 4294967296 AS hhi
+         |         ((${tokenInt("tok")}) % 998244353) * 69621 % 4294967296 AS hhi
          |  FROM toks),
          |bits AS (
          |  SELECT doc_id, $sums
@@ -455,10 +455,15 @@ object OracleSql {
          |meta AS (
          |  SELECT e.vec_id, e.label, bk.bucket
          |  FROM embeddings e JOIN bk ON e.vec_id = bk.vec_id),
+         |okgrp AS (
+         |  -- hot-band guard (= Similarity.nearDupPairs bucketMax=65536):
+         |  -- an over-threshold (label, bucket) group generates no pairs
+         |  SELECT label, bucket FROM meta GROUP BY 1, 2 HAVING count(*) <= 65536),
          |cand AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM meta a JOIN meta b
-         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN okgrp g ON g.label = a.label AND g.bucket = a.bucket),
          |n AS (SELECT vec_id, sum(q * q) AS n2 FROM qv GROUP BY 1),
          |dots AS (
          |  SELECT c.vec_a, c.vec_b, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot

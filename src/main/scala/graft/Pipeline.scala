@@ -27,7 +27,12 @@ object Pipeline {
                        buckets: Int = 32, bucketsPerWave: Int = 8): Seq[Int] = {
     val images = Images.table(spark, n).toDF
     val polys = GeoTables.syntheticPolygons(spark, nPolys).toDF
-    IcebergLite.run(images, Seq("image_id"), buckets, bucketsPerWave, tableDir) { slice =>
+    // verifyWaveClosure=false: the closure probe costs a second pass over
+    // the (decode-heavy) transform, and THIS transform is provably
+    // wave-closed — every output row's bucket comes from re-joining the
+    // slice's own bucket column. IcebergLite's re-pin filter still runs.
+    IcebergLite.run(images, Seq("image_id"), buckets, bucketsPerWave, tableDir,
+      verifyWaveClosure = false) { slice =>
       val tiles = Tiling.tile(slice.as[graft.sources.ImageRow](
         org.apache.spark.sql.Encoders.product[graft.sources.ImageRow]))
       val assigned = Tiling.assign(tiles, level)

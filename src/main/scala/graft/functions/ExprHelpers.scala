@@ -20,6 +20,35 @@ object ExprHelpers {
   def kRing(cell: Long, k: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(CellIndex.kRing(cell, k))
 
+  def annulus(cell: Long, rInner: Int, rOuter: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(CellIndex.annulus(cell, rInner, rOuter))
+
+  /** Sign-LSH bucket of a quantized embedding: bit j of the result is
+    * (sum_i q_i * w(j, i)) > 0 with the closed-form integer plane weight
+    * w(j, i) = ((j*dim + i) * 2654435761) mod 2001 - 1000 — one pure
+    * per-row computation (Similarity.planeWeight; the SQL oracles
+    * re-derive the same closed form). Elements past min(dim,
+    * q.numElements) contribute 0, matching the relational formulation's
+    * inner join on i.
+    */
+  def lshBucket(q: ArrayData, planes: Int, dim: Int): Long = {
+    val n = math.min(dim, q.numElements())
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      val base = j.toLong * dim
+      var proj = 0L
+      var i = 0
+      while (i < n) {
+        proj += q.getLong(i) * (((base + i) * 2654435761L) % 2001L - 1000L)
+        i += 1
+      }
+      if (proj > 0L) bucket |= 1L << j
+      j += 1
+    }
+    bucket
+  }
+
   def cover(ext: ArrayData, holes: ArrayData, level: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
       CellIndex.cover(GeomEncoding.polygonFrom(ext, holes), level))

@@ -17,6 +17,8 @@ object GraftFunctions {
     "cell_of" -> (e => CellOfExpr(e(0), e(1), e(2))),
     "cell_parent" -> (e => CellParentExpr(e(0))),
     "cell_kring" -> (e => CellKRingExpr(e(0), e(1))),
+    "cell_annulus" -> (e => CellAnnulusExpr(e(0), e(1), e(2))),
+    "lsh_bucket" -> (e => LshBucketExpr(e(0), e(1), e(2))),
     "polygon_cover" -> (e => PolygonCoverExpr(e(0), e(1), e(2))),
     "pip" -> (e => PipExpr(e(0), e(1), e(2), e(3))),
     "signed_dist" -> (e => SignedDistExpr(e(0), e(1), e(2), e(3))),
@@ -37,6 +39,10 @@ object GraftFunctions {
     call_function("cell_of", x, y, level)
   def cell_parent(cell: Column): Column = call_function("cell_parent", cell)
   def cell_kring(cell: Column, k: Column): Column = call_function("cell_kring", cell, k)
+  def cell_annulus(cell: Column, rInner: Column, rOuter: Column): Column =
+    call_function("cell_annulus", cell, rInner, rOuter)
+  def lsh_bucket(q: Column, planes: Column, dim: Column): Column =
+    call_function("lsh_bucket", q, planes, dim)
   def polygon_cover(exterior: Column, holes: Column, level: Column): Column =
     call_function("polygon_cover", exterior, holes, level)
   def pip(x: Column, y: Column, exterior: Column, holes: Column): Column =

@@ -153,11 +153,17 @@ object Geom {
     val dx = bx - ax
     val dy = by - ay
     val d2 = dx * dx + dy * dy
-    val r = ((px - ax) * dx + (py - ay) * dy) / d2
-    if (r <= 0.0) {
+    val dot = (px - ax) * dx + (py - ay) * dy
+    // branch on dot <= 0 / dot >= d2 rather than fl(dot/d2) <= 0 / >= 1:
+    // the same classification except when the quotient ROUNDS exactly
+    // onto the 0/1 boundary (where both formulas return distances within
+    // one ulp anyway), and — critically — the IDENTICAL tests the fused
+    // kernel scan uses (Polylabel.signedDistance), so the two surfaces
+    // agree bit-for-bit on every input (property-checked in PolylabelSpec)
+    if (dot <= 0.0) {
       val ex = ax - px; val ey = ay - py
       math.sqrt(ex * ex + ey * ey)
-    } else if (r >= 1.0) {
+    } else if (dot >= d2) {
       val ex = bx - px; val ey = by - py
       math.sqrt(ex * ex + ey * ey)
     } else {

@@ -289,10 +289,10 @@ object Polylabel {
               } else {
                 val d2 = ex * ex + ey * ey
                 val dot = ux * ex + uy * ey
-                // dot<=0 / dot>=d2 stand in for fl(dot/d2)<=0 / >=1 —
-                // equivalent except when the quotient rounds exactly onto
-                // the 0/1 boundary (sub-ULP projection window); fixture +
-                // oracle exactness gates this
+                // branch tests dot<=0 / dot>=d2 — the SAME classification
+                // Geom.segmentDistance uses, so kernel and per-edge
+                // surfaces agree bit-for-bit (property-checked); avoiding
+                // the division here is the measured round-2 kernel win
                 if (dot <= 0.0) {
                   val q = ux * ux + uy * uy
                   if (q < minSq) {
@@ -415,24 +415,45 @@ object Polylabel {
     }
 
     // seed the queue with a regular grid of cells of size cellSize.
-    // Guard the grid size: extreme aspect ratios make nx*ny exceed any
-    // sane allocation (and would overflow the Int cast) — fall back to
-    // the centroid/bbox seed alone, the same degradation as the
-    // reference's to_usize None -> empty queue path.
+    // Guard the grid size: extreme aspect ratios (> ~6.7e7) make nx*ny
+    // exceed any sane allocation (and would overflow the Int cast). Do
+    // NOT skip seeding in that case (an empty queue would silently return
+    // the centroid/bbox seed, violating the tolerance contract with no
+    // signal) — clamp to <= 4096 cells along the long axis and grow the
+    // seed cell to match: maxDistance = d + halfExtent*sqrt(2) is a valid
+    // upper bound for ANY cell size, so branch-and-bound still refines to
+    // the requested tolerance, just from a coarser start. One genuine
+    // escape hatch remains: when even the FINAL refinement breadth
+    // (~longSide/tolerance cells) blows the same budget, the clamped
+    // cascade would grind ~forever (every along-ridge cell splits until
+    // halfExtent ~ tolerance) and a hang is strictly worse than the
+    // reference's own degradation on such inputs (its usize grid fails
+    // allocation) — those keep the seed-only fallback, explicitly.
     val queue = new CellHeap()
-    val gridCellSize = halfExtent * 2.0
-    val nx = math.ceil(bbox.width / gridCellSize).toLong
-    val ny = math.ceil(bbox.height / gridCellSize).toLong
+    var gridCellSize = halfExtent * 2.0
+    var seedHalf = halfExtent
+    var nx = math.ceil(bbox.width / gridCellSize).toLong
+    var ny = math.ceil(bbox.height / gridCellSize).toLong
+    if (nx > (1L << 26) || ny > (1L << 26) || nx * ny > (1L << 26)) {
+      if (math.max(bbox.width, bbox.height) / tolerance <= (1L << 26).toDouble) {
+        gridCellSize = math.max(gridCellSize, math.max(bbox.width, bbox.height) / 4096.0)
+        seedHalf = gridCellSize / 2.0
+        nx = math.ceil(bbox.width / gridCellSize).toLong
+        ny = math.ceil(bbox.height / gridCellSize).toLong
+      } else {
+        nx = 0L; ny = 0L // intractable extent/tolerance: seed-only
+      }
+    }
     val nCells = nx * ny
-    if (nCells > 0 && nx <= (1L << 26) && ny <= (1L << 26) && nCells <= (1L << 26)) {
+    if (nCells > 0) {
       queue.beginExtend(nCells.toInt)
       var gx = 0L
       while (gx < nx) {
         var gy = 0L
         while (gy < ny) {
-          val px = (bbox.minX + gx.toDouble * gridCellSize) + halfExtent
-          val py = (bbox.minY + gy.toDouble * gridCellSize) + halfExtent
-          appendCell(queue, px, py, halfExtent, rings)
+          val px = (bbox.minX + gx.toDouble * gridCellSize) + seedHalf
+          val py = (bbox.minY + gy.toDouble * gridCellSize) + seedHalf
+          appendCell(queue, px, py, seedHalf, rings)
           gy += 1
         }
         gx += 1

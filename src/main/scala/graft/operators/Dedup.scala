@@ -16,6 +16,13 @@ object Dedup {
 
   final val P = TextOps.P
 
+  /** Second prime for the simhash high word — a DIFFERENT residue than P,
+    * so the two 32-bit multiplicative hashes are genuinely independent
+    * (both multipliers are odd, so hashes built from the SAME residue
+    * share bit 0 and the fingerprint loses a bit).
+    */
+  final val P2 = 998244353L
+
   /** Exact dedup: representative (min doc_id) + multiplicity per distinct
     * text. At 100 TB this is the classic hash-shuffle group-by; partial
     * aggregation handles the heavy hitters.
@@ -44,7 +51,8 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
                         dfMax: Int = 0): DataFrame = {
-    val sh = TextOps.shingles3(docs).cache()
+    val sh = TextOps.shingles3(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candSh =
       if (dfMax <= 0) sh
       else {
@@ -66,26 +74,33 @@ object Dedup {
         col("doc_b") === col("doc_b2") && col("sa") === col("sb"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select("doc_a", "doc_b", "inter", "uni")
+    Caching.materializeAndRelease(out, sh)
   }
 
   /** MinHash signature matrix: H hashes h_j(doc) = min over shingle ints s
     * of (a_j*s + b_j) mod P, with closed-form (a_j, b_j). Returns
     * (doc_id, j, minh).
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
-    val spark = docs.sparkSession
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(TextOps.shingles3(docs), numHashes)
+
+  /** Same, over an existing (doc_id, shingle) frame — lets the caller
+    * compute (and cache) the shingle set ONCE and feed both the signature
+    * build and the exact verify from it.
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
     val params = (0 until numHashes)
       .map(j => (j, (j * 2654435761L + 1L) % P, (j * 40503L + 7L) % P))
       .toDF("j", "a", "b")
-    TextOps.shingles3(docs)
-      .withColumn("s", TextOps.shingleInt(col("shingle")))
+    sh.withColumn("s", TextOps.shingleInt(col("shingle")))
       .select("doc_id", "s").distinct()
       .crossJoin(broadcast(params))
       .groupBy("doc_id", "j")
@@ -97,10 +112,48 @@ object Dedup {
     * Candidates (same band key in any band) are verified with the exact
     * shingle Jaccard; pairs with jaccard >= num/den survive.
     * Output: (doc_a, doc_b, inter, uni).
+    *
+    * SCALE SHAPE: exact duplicates are collapsed to one representative per
+    * distinct text BEFORE banding. Web corpora carry clusters of 10^5-10^6
+    * byte-identical documents; uncollapsed, every member shares every band
+    * key and the band self-join emits |cluster|^2 candidate pairs into the
+    * (expensive, shingle-join) verify. Collapsed, the verify sees one
+    * candidate per distinct-text PAIR — linear in cluster size — and group
+    * membership is re-expanded afterwards as a cheap output-producing
+    * join. The OUTPUT is provably identical to banding every document:
+    * exact duplicates have identical signatures, so (a, b) band-match iff
+    * their representatives do, and the verified jaccard depends only on
+    * the texts. PipelineOpsSpec plants a duplicate cluster and asserts
+    * the verify-side candidate count stays linear.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
-                      num: Int, den: Int): DataFrame = {
-    val sig = minhashSignatures(docs, numHashes)
+                      num: Int, den: Int): DataFrame =
+    minhashLshPairsImpl(docs, numHashes, rowsPerBand, num, den)._1
+
+  /** Implementation returning (result, rep-level candidate pairs) so tests
+    * can assert the candidate volume; the second frame is lazy.
+    */
+  private[operators] def minhashLshPairsImpl(
+      docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+      num: Int, den: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    // Stage 0 — exact-duplicate collapse: doc -> representative (min
+    // doc_id per distinct text). groupBy (partial aggregation absorbs the
+    // heavy hitters) + join back (AQE-skew-splittable) — NOT a window over
+    // text, which would put a mega-cluster in one unsplittable partition.
+    val reps = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
+    val members = docs.select(col("doc_id"), col("text")).join(reps, "text")
+      .select("doc_id", "rep_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repDocs = docs.join(
+      members.where(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+
+    // ONE cached shingle frame feeds both the signature build and the
+    // exact verify (building it twice was measured waste).
+    val sh = TextOps.shingles3(repDocs).select("doc_id", "shingle")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val sig = minhashSignaturesFromShingles(sh, numHashes)
     // 31^(j mod rows) as an explicit integer mapping — libm pow() is not
     // guaranteed exactly rounded, and a 29790.999.. would silently change
     // band keys differently per engine
@@ -116,38 +169,63 @@ object Dedup {
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"))
       .distinct()
 
-    // exact verify on the candidate set only
-    val sh = TextOps.shingles3(docs).select("doc_id", "shingle").cache()
+    // exact verify on the (rep-level) candidate set only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingle", "sa"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b2").withColumnRenamed("shingle", "sb"),
-        col("doc_b") === col("doc_b2") && col("sa") === col("sb"))
-      .groupBy("doc_a", "doc_b")
+      .join(sh.withColumnRenamed("doc_id", "rep_a").withColumnRenamed("shingle", "sa"), "rep_a")
+      .join(sh.withColumnRenamed("doc_id", "rep_b2").withColumnRenamed("shingle", "sb"),
+        col("rep_b") === col("rep_b2") && col("sa") === col("sb"))
+      .groupBy("rep_a", "rep_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+    val verified = inter
+      .join(sizes.withColumnRenamed("doc_id", "rep_a").withColumnRenamed("n", "na"), "rep_a")
+      .join(sizes.withColumnRenamed("doc_id", "rep_b").withColumnRenamed("n", "nb"), "rep_b")
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
-      .select("doc_a", "doc_b", "inter", "uni")
+      .select("rep_a", "rep_b", "inter", "uni")
+
+    // Stage N — membership re-expansion. Cross-group: every (member of A,
+    // member of B) pair inherits the rep pair's verdict (identical texts
+    // => identical shingle sets). Within-group: jaccard is exactly 1, so
+    // the pair qualifies iff n*den >= n*num with n >= 1 distinct shingle
+    // (documents with < 3 tokens have no shingles, hence — exactly as in
+    // the uncollapsed formulation — no signatures, no candidacy, no pairs).
+    // Both joins produce OUTPUT rows directly; no verify work per pair.
+    val cross = verified
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("inter"), col("uni"))
+    val within = members.as("p").join(members.as("q"),
+        col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        col("p.rep_id").as("rep_id"))
+      .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .where(col("n") * den >= col("n") * num)
+      .select(col("doc_a"), col("doc_b"), col("n").as("inter"), col("n").as("uni"))
+
+    val out = cross.unionByName(within)
+    (Caching.materializeAndRelease(out, members, sh), cand)
   }
 
   /** 64-bit SimHash over token hashes: bit b is the sign of
     * sum(+/-1 per token occurrence by bit b of the token hash). Two
     * independent 32-bit multiplicative hashes supply bits 0..31 and
     * 32..63; at web scale 16 bits collide on virtually everything, 64
-    * bits give a usable fingerprint. The sign bit's weight is
-    * Long.MinValue, summed last so every partial stays in Long range —
-    * identical two's-complement packing in any BIGINT engine.
+    * bits give a usable fingerprint. The two hashes start from DIFFERENT
+    * prime residues (P vs P2) — with a shared residue both odd-multiplier
+    * products share bit 0 and the fingerprint silently loses a bit. The
+    * sign bit's weight is Long.MinValue, summed last so every partial
+    * stays in Long range — identical two's-complement packing in any
+    * BIGINT engine.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(docs)
       .withColumn("hlo", (TextOps.tokenInt(col("tok")) % P) * 48271L % 4294967296L)
-      .withColumn("hhi", (TextOps.tokenInt(col("tok")) % P) * 69621L % 4294967296L)
+      .withColumn("hhi", (TextOps.tokenInt(col("tok")) % P2) * 69621L % 4294967296L)
     def bitCol(b: Int): Column =
       if (b < 32) shiftright(col("hlo"), b) else shiftright(col("hhi"), b - 32)
     val bitSums = (0 until 64).map { b =>

@@ -1,8 +1,10 @@
 package graft.operators
 
+import graft.functions.GraftFunctions.lsh_bucket
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (array<float>):
   * brute-force top-k as the correctness baseline, sign-LSH bucketing as
@@ -13,6 +15,10 @@ import org.apache.spark.sql.functions._
   * bit-reproducible by any engine — and at 100 TB the quantized path is
   * also the cheap one (int64 multiply-adds, dense shuffles, no float
   * reduction-order nondeterminism across partitions).
+  *
+  * Cache discipline: every operator that persists intermediates releases
+  * them before returning (Caching.materializeAndRelease); the caller owns
+  * only the returned (output-sized) frame's cache.
   */
 object Similarity {
 
@@ -26,7 +32,7 @@ object Similarity {
     * against the whole table. Output: (query_id, vec_id, dot, rank).
     */
   def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = quantized(embeddings).cache()
+    val q = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
     val queries = q.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("i"), col("q").as("qa"))
     val data = q.select(col("vec_id"), col("i"), col("q").as("qb"))
@@ -35,30 +41,32 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qa") * col("qb")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
-    dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    Caching.materializeAndRelease(out, q)
   }
 
   /** Deterministic integer hyperplane component w(j, i): closed form so
-    * any engine derives the same planes.
+    * any engine derives the same planes (mirrored by ExprHelpers.lshBucket
+    * and the SQL oracles).
     */
   def planeWeight(j: Int, dim: Int) =
     (i: Int) => ((j.toLong * dim + i) * 2654435761L % 2001L) - 1000L
 
   /** Sign-LSH bucket per vector: bit j = (sum_i q_i * w(j,i)) > 0.
     * Returns (vec_id, bucket).
+    *
+    * ONE narrow codegen'd projection per row — no explode, no join, no
+    * shuffle (PlanSpec asserts the plan is exchange-free). The previous
+    * relational formulation (posexplode -> broadcast-join on i -> two
+    * groupBys) shuffled dim x planes = 512 rows per vector; at 10^12
+    * vectors that is 5x10^14 shuffle rows for a value a per-row loop
+    * computes in-place.
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val w = (for (j <- 0 until planes; i <- 0 until dim)
-      yield (j, i, planeWeight(j, dim)(i))).toDF("j", "i", "w")
-    val bits = quantized(embeddings)
-      .join(broadcast(w), "i")
-      .groupBy("vec_id", "j")
-      .agg(sum(col("q") * col("w")).as("proj"))
-      .withColumn("bit", when(col("proj") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
-    bits.groupBy("vec_id").agg(sum("bit").as("bucket"))
-  }
+  def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      lsh_bucket(transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")),
+        lit(planes), lit(dim)).as("bucket"))
 
   /** ANN top-k: candidates share one of the query's probe buckets; exact
     * integer dot re-ranks within the candidates. Output
@@ -75,8 +83,9 @@ object Similarity {
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               planes: Int = 8, dim: Int = 64,
               multiProbe: Boolean = false): DataFrame = {
-    val buckets = lshBuckets(embeddings, planes, dim).cache()
-    val q = quantized(embeddings).cache()
+    val buckets = lshBuckets(embeddings, planes, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
     val queries0 = buckets.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
     val queries =
@@ -100,7 +109,8 @@ object Similarity {
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qa") * col("qb")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
-    dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    Caching.materializeAndRelease(out, buckets, q)
   }
 
   /** Near-duplicate pairs: cosine >= tau via the integer
@@ -114,15 +124,36 @@ object Similarity {
     * with high probability; the bucket criterion is part of the operator
     * contract, mirrored by the SQL oracle). The exact integer verify runs
     * on candidates only.
+    *
+    * `bucketMax` is the HOT-BAND GUARD: a (label, bucket) group larger
+    * than it generates NO candidate pairs (e.g. a corpus of near-zero
+    * embeddings collapsing into one bucket would otherwise emit |group|^2
+    * pairs). Like ngram dedup's dfMax, the cutoff is part of the operator
+    * contract and mirrored by the SQL oracle; a group that hot means the
+    * bucketing failed for it and the caller should re-block (more planes
+    * or a finer label). 0 disables the guard.
     */
   def nearDupPairs(embeddings: DataFrame, tau2x10000: Int,
-                   planes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = quantized(embeddings).cache()
+                   planes: Int = 8, dim: Int = 64,
+                   bucketMax: Int = 65536): DataFrame = {
+    val q = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
     val meta = lshBuckets(embeddings, planes, dim)
       .join(embeddings.select("vec_id", "label"), "vec_id")
-    val cand = meta.as("a").join(meta.as("b"),
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candBase = meta.as("a").join(meta.as("b"),
         col("a.label") === col("b.label") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
+    val cand = (if (bucketMax <= 0) candBase
+      else {
+        // group-size guard: the sizes frame is tiny (distinct label x
+        // bucket) and broadcasts; hot groups are excluded BEFORE the
+        // quadratic self-join output materializes
+        val sizes = meta.groupBy("label", "bucket").agg(count(lit(1)).as("gsz"))
+          .where(col("gsz") <= bucketMax)
+          .select(col("label").as("ok_label"), col("bucket").as("ok_bucket"))
+        candBase.join(broadcast(sizes),
+          col("a.label") === col("ok_label") && col("a.bucket") === col("ok_bucket"))
+      })
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
     val norms = q.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
     val dots = cand
@@ -131,11 +162,12 @@ object Similarity {
         Seq("vec_b", "i"))
       .groupBy("vec_a", "vec_b")
       .agg(sum(col("qa") * col("qb")).as("dot"))
-    dots
+    val out = dots
       .join(norms.select(col("vec_id").as("vec_a"), col("n2").as("na2")), "vec_a")
       .join(norms.select(col("vec_id").as("vec_b"), col("n2").as("nb2")), "vec_b")
       .where(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >= lit(tau2x10000.toLong) * col("na2") * col("nb2"))
       .select("vec_a", "vec_b", "dot")
+    Caching.materializeAndRelease(out, meta, q)
   }
 }

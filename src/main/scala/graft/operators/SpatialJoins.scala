@@ -46,11 +46,25 @@ object SpatialJoins {
       val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
       if (thr <= 0) false // user disabled broadcasting entirely — honor it
       else {
-        val sz = polygons.queryExecution.optimizedPlan.stats.sizeInBytes
-        // unknown stats (defaultSizeInBytes ~ Long.MaxValue) read as the
-        // dimension-table assumption; a caller with a genuinely huge
-        // stats-less table must pass Some(false)
-        sz >= BigInt(Long.MaxValue) / 2 || sz <= BigInt(thr) * 16
+        val st = polygons.queryExecution.optimizedPlan.stats
+        // "unknown stats" means EXACTLY the conf's defaultSizeInBytes
+        // sentinel (a stat-less leaf): that reads as the dimension-table
+        // assumption (a caller with a genuinely huge stats-less table
+        // passes Some(false)). A plan whose estimate merely multiplied
+        // its way to a huge number is KNOWN-huge — no broadcast.
+        val unknown =
+          st.sizeInBytes == BigInt(spark.sessionState.conf.defaultSizeInBytes)
+        if (unknown) true
+        else {
+          // size what is actually broadcast: the slim (cell_id, poly_id)
+          // cover fan-out (16 B x cells-per-polygon; rowCount when CBO
+          // stats exist, else geometry bytes as a same-order proxy — a
+          // ~100-vertex polygon's geometry and its ~64-cell cover rows
+          // are comparable) PLUS the geometry once per polygon
+          val coverBytes = st.rowCount.map(rc => rc * 16 * 64)
+            .getOrElse(st.sizeInBytes)
+          st.sizeInBytes + coverBytes <= BigInt(thr) * 16
+        }
       }
     }
     val pts = points.withColumn("cell_id", cell_of(col("x"), col("y"), lit(level)))
@@ -119,6 +133,27 @@ object SpatialJoins {
     * itself materialized+cached and all intermediates unpersisted — no
     * cached state leaks beyond the (output-sized) result; callers may
     * `unpersist()` the result when done.
+    *
+    * CARRY-FORWARD: round r+1 does NOT re-explode the full (2r+1)^2 ring
+    * for still-unresolved points. The previous round's candidate set is
+    * cached UNPRUNED (candidates past the guarantee radius may resolve a
+    * later round), restricted to the surviving points, and unioned with
+    * an explode of only the NEW ring shell (`cell_annulus(prevR, r]`) —
+    * the same candidate set the full re-explode would produce (Chebyshev
+    * disks nest; SpatialJoinSpec asserts output equality and the shell
+    * explode is (2r+1)^2 - (2p+1)^2 cells instead of (2r+1)^2).
+    *
+    * LINEAGE TRUNCATION: the per-round frames are materialized with a
+    * lazy `localCheckpoint`, not a bare persist. An iterative chain of
+    * persisted frames keeps its full LOGICAL lineage, and this loop's
+    * lineage grows ~2.7^rounds (each round references the previous
+    * unresolved set twice and the carried candidates once) — measured: a
+    * 5-round run built a 2.1 GB plan string and OOM'd the driver inside
+    * AQE's plan-update logging. The checkpoint replaces each round's plan
+    * with a LogicalRDD leaf, so every round's plan is constant-size. The
+    * trade (standard for iterative Spark algorithms): checkpointed blocks
+    * are not recomputable on executor loss — acceptable for a bounded
+    * intra-operator loop whose storage level spills to disk.
     */
   def knnJoin(points: DataFrame, labels: DataFrame, k: Int, level: Int,
               rounds: Seq[Int] = Seq(1, 2, 4, 8),
@@ -143,82 +178,70 @@ object SpatialJoins {
     // here (a collect_list hash-agg was 2x slower; a bounded
     // TypedImperativeAggregate was 4-8x slower — per-key Java buffers
     // thrash the GC at millions of groups).
-    //
-    // `maxD2` prunes candidates BEFORE the sort, losslessly: a point
-    // resolves at ring radius R iff it has >= k candidates with
-    // d2 <= R^2 (if the k nearest are within R they all survive the
-    // filter; if not, the filtered count is < k and the point carries to
-    // the next round) — so dropping d2 > R^2 changes neither the
-    // resolution set nor any resolved point's top-k, while cutting the
-    // round-1 window input several-fold.
     val w = Window.partitionBy("point_id").orderBy(col("d2"), col("poly_id"))
 
-    def topk(cand: DataFrame, maxD2: Option[Double]): DataFrame = {
-      val withD = cand
-        .withColumn("d2", (col("x") - col("lx")) * (col("x") - col("lx")) +
-          (col("y") - col("ly")) * (col("y") - col("ly")))
-      val pruned = maxD2.fold(withD)(m => withD.where(col("d2") <= m))
-      pruned
-        .withColumn("dist", sqrt(col("d2")))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-    }
+    def withD2(cand: DataFrame): DataFrame = cand
+      .withColumn("d2", (col("x") - col("lx")) * (col("x") - col("lx")) +
+        (col("y") - col("ly")) * (col("y") - col("ly")))
+      .select("point_id", "x", "y", "poly_id", "d2")
 
-    import org.apache.spark.storage.StorageLevel
-    var unresolved = points
+    var unresolved = truncated(points
       .select(col("point_id"), col("x"), col("y"))
-      .withColumn("pcell", cell_of(col("x"), col("y"), lit(level)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("pcell", cell_of(col("x"), col("y"), lit(level))))
     // round 1 always runs — its own count() establishes the real number;
     // an up-front count of the input would cost one full extra pass
     var nLeft = Long.MaxValue
     var resolvedParts = List.empty[DataFrame]
-    val rankedHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var carried: DataFrame = null // prev round's UNPRUNED candidates, cached
+    var prevR = 0
+    val cacheHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
     val it = rounds.iterator
     while (it.hasNext && nLeft > 0) {
       val r = it.next()
-      val cand =
-        if (broadcastLabels)
-          unresolved
-            .withColumn("ncell", explode(cell_kring(col("pcell"), lit(r))))
-            .join(broadcast(lab), col("ncell") === col("lcell"))
-            .drop("ncell", "lcell")
-        else {
-          // symmetric formulation: replicate each LABEL into the kRing of
-          // its own cell and shuffle-join on the point's cell — identical
-          // candidate set (Chebyshev rings are symmetric), no broadcast
-          val labRinged = lab
-            .withColumn("rcell", explode(cell_kring(col("lcell"), lit(r))))
-            .drop("lcell")
-          unresolved.join(labRinged, col("pcell") === col("rcell")).drop("rcell")
-        }
-      // One window pass carries BOTH the ranking and the resolution proof:
-      // after the <= rad2 prune, a point is resolved iff it has >= k
-      // surviving candidates (their kth is <= r*minDim by construction),
-      // so `count() over (partition by point_id)` replaces the separate
-      // kth-aggregate stage and the resolved-semi-join stage — the same
-      // exchange serves row_number and the count, and the resolved rows
-      // select straight out of the cached frame. Fewer stages = less
-      // driver-serial AQE planning, the measured parallelism-insensitive
-      // cost of this operator.
+      val newCand = roundCandidates(unresolved, lab, r, prevR,
+        first = carried == null, broadcastLabels = broadcastLabels)
+      // candidates within the FULL disk of radius r: carried (restricted
+      // to surviving points — no broadcast hint: the restriction side
+      // scales with the unresolved count, AQE picks broadcast when small)
+      // plus the new shell. Kept unpruned for the next round.
+      val candAll = truncated(
+        if (carried == null) withD2(newCand)
+        else carried
+          .join(unresolved.select("point_id"), Seq("point_id"), "leftsemi")
+          .unionByName(withD2(newCand)))
+
+      // One window pass carries BOTH the ranking and the resolution proof.
+      // The <= rad2 prune is lossless: a point resolves at ring radius r
+      // iff it has >= k candidates with d2 <= (r*minDim)^2 (if the k
+      // nearest are within the guarantee radius they all survive the
+      // filter; if not, the filtered count is < k and the point carries to
+      // the next round) — so `count() over (partition by point_id)` after
+      // the rank filter replaces a separate kth-aggregate stage and the
+      // resolved-semi-join stage; the same exchange serves both windows.
       val rad2 = (r * minDim) * (r * minDim)
       val wc = Window.partitionBy("point_id")
-      val ranked = topk(cand, Some(rad2))
+      val ranked = candAll.where(col("d2") <= rad2)
+        .withColumn("dist", sqrt(col("d2")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
         .withColumn("n_cand", count(lit(1)).over(wc))
         .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank", "n_cand")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resolvedParts ::= ranked.where(col("n_cand") >= k)
         .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
-      rankedHandles += ranked
+      cacheHandles += ranked
       val okIds = ranked.where(col("rank") === 1 && col("n_cand") >= k)
         .select(col("point_id").as("ok_id"))
-      val next = unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = truncated(
+        unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti"))
       nLeft = next.count()
-      // both consumers of the superseded round (this ranked, next
-      // unresolved) are materialized — drop its cache now, not at session end
-      unresolved.unpersist(blocking = false)
+      // everything derived from the superseded blocks (this round's
+      // candAll, ranked, next) is materialized — release them now
+      release(unresolved)
+      if (carried != null) release(carried)
+      carried = candAll
+      prevR = r
       unresolved = next
     }
     // fallback: whatever is left (isolated points) against all labels —
@@ -228,15 +251,72 @@ object SpatialJoins {
       if (nLeft == 0) resolvedParts
       else {
         val leftover = unresolved.crossJoin(if (broadcastLabels) broadcast(lab) else lab)
-        topk(leftover.drop("lcell"), None)
+        withD2(leftover)
+          .withColumn("dist", sqrt(col("d2")))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= k)
           .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank") :: resolvedParts
       }
     val result = parts.reduce(_ unionByName _)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
-    rankedHandles.foreach(_.unpersist(blocking = false))
-    unresolved.unpersist(blocking = false)
+    cacheHandles.foreach(_.unpersist(blocking = false))
+    if (carried != null) release(carried)
+    release(unresolved)
     lab.unpersist(blocking = false)
     result
   }
+
+  /** One round's NEW candidate pairs: explode the (first round) full
+    * Chebyshev disk or (later rounds) only the annulus shell of each
+    * unresolved point, equi-join against the labels — broadcast for
+    * dimension-sized label sets, symmetric cell-shuffle otherwise.
+    * Package-private so PlanSpec can audit the physical shape directly
+    * (the executed round plans hide behind the lineage-truncation
+    * boundary in the composed operator).
+    */
+  private[graft] def roundCandidates(unresolved: DataFrame, lab: DataFrame,
+      r: Int, prevR: Int, first: Boolean, broadcastLabels: Boolean): DataFrame =
+    if (broadcastLabels) {
+      val ring = if (first) cell_kring(col("pcell"), lit(r))
+        else cell_annulus(col("pcell"), lit(prevR), lit(r))
+      unresolved
+        .withColumn("ncell", explode(ring))
+        .join(broadcast(lab), col("ncell") === col("lcell"))
+        .drop("ncell", "lcell")
+    } else {
+      // symmetric formulation: replicate each LABEL into the ring of its
+      // own cell and shuffle-join on the point's cell — identical
+      // candidate set (Chebyshev rings are symmetric), no broadcast
+      val ring = if (first) cell_kring(col("lcell"), lit(r))
+        else cell_annulus(col("lcell"), lit(prevR), lit(r))
+      val labRinged = lab.withColumn("rcell", explode(ring)).drop("lcell")
+      unresolved.join(labRinged, col("pcell") === col("rcell")).drop("rcell")
+    }
+
+  /** Materialize-and-truncate for the iterative kNN loop: an EAGER local
+    * checkpoint replaces the frame's logical plan with a LogicalRDD leaf
+    * over materialized MEMORY_AND_DISK blocks. Eager is load-bearing, not
+    * a convenience: a LAZY local checkpoint only finalizes in a job that
+    * calls `rdd.doCheckpoint()`, and AQE materializes shuffle-map stages
+    * through `submitMapStage`, which doesn't — the checkpoint then stays
+    * pending forever, and releasing its blocks leaves a marked-but-
+    * incomplete RDD that ANY later job touching the lineage trips over
+    * ("storage level not appropriate for local checkpointing" assertion;
+    * reproduced by graft.Bench's knn workload). Eager finalization also
+    * clears the dependency chain, which is the lineage cut we want.
+    */
+  private def truncated(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  /** Release the blocks behind a [[truncated]] frame (localCheckpoint
+    * data is not registered with the CacheManager, so `unpersist()` on
+    * the Dataset cannot reach it — go through the LogicalRDD leaf).
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -55,11 +55,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"stage fell out of whole-stage codegen:\n$plan")
   }
 
+  test("lshBuckets is a pure per-row projection: no exchange, codegen'd") {
+    // the bucket build must NOT be the old posexplode -> join -> groupBy
+    // shape (512 shuffle rows per vector); one narrow projection per row
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.operators.Similarity.lshBuckets(emb, planes = 8, dim = 64)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"bucket build must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"bucket build must not explode:\n$plan")
+    assert(plan.contains("*("), s"bucket build fell out of codegen:\n$plan")
+  }
+
   test("kNN join keeps the label side broadcast in every round") {
-    val labels = GeoTables.syntheticPolygons(spark, 10).toDF
-      .select(col("poly_id"), lit(1.0).as("lx"), lit(41.0).as("ly"))
+    // audited on the round-candidate builder itself: the composed
+    // operator's executed plans hide behind its lineage-truncation
+    // (localCheckpoint) boundaries
+    import graft.functions.GraftFunctions.cell_of
+    val lab = GeoTables.syntheticPoints(spark, 10).toDF
+      .select(concat(lit("p"), col("point_id")).as("poly_id"),
+        col("x").as("lx"), col("y").as("ly"))
+      .withColumn("lcell", cell_of(col("lx"), col("ly"), lit(8)))
     val pts = GeoTables.syntheticPoints(spark, 100).toDF
-    val plan = planOf(SpatialJoins.knnJoin(pts, labels, 2, 8))
-    assert(plan.contains("BroadcastHashJoin"), s"labels must broadcast:\n$plan")
+      .withColumn("pcell", cell_of(col("x"), col("y"), lit(8)))
+    for (first <- Seq(true, false)) {
+      val plan = planOf(graft.operators.SpatialJoins.roundCandidates(
+        pts, lab, r = 2, prevR = 1, first = first, broadcastLabels = true))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"labels must broadcast (first=$first):\n$plan")
+      assert(!plan.contains("CartesianProduct"), "no cross join in a round")
+    }
+    // symmetric (no-broadcast) mode must be an equi-join on the cell key,
+    // never a cross join
+    val sym = planOf(graft.operators.SpatialJoins.roundCandidates(
+      pts, lab, r = 1, prevR = 0, first = true, broadcastLabels = false))
+    assert(!sym.contains("CartesianProduct"), s"symmetric mode crossed:\n$sym")
   }
 }

@@ -112,13 +112,58 @@ class PolylabelSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Polylabel.polylabel(huge, 0.1))
   }
 
-  test("extreme aspect ratio skips grid seeding instead of overflowing") {
-    // width/height ~ 4e16: nx*ny would overflow the Int cell-count cast;
-    // the guard must fall back to the seed, not throw/underallocate
+  test("extreme aspect + intractable extent/tolerance falls back to seed") {
+    // width/height ~ 4e16 AND width/tolerance ~ 4e12 (past any refinement
+    // budget): the guard must fall back to the seed — terminating — not
+    // throw, underallocate, or grind through ~1e12 cell splits
     val sliver = PolygonG(Seq((0.0, 0.0), (4.0e12, 0.0), (4.0e12, 1.0e-4),
       (0.0, 1.0e-4), (0.0, 0.0)))
     val r = Polylabel.polylabel(sliver, 1.0)
     assert(java.lang.Double.isFinite(r.x) && java.lang.Double.isFinite(r.y))
     assert(Geom.pointInPolygon(r.x, r.y, sliver))
+  }
+
+  test("extreme aspect with tractable tolerance: clamped grid refines") {
+    // aspect 1e8 trips the per-axis 2^26 gate, but extent/tolerance = 1e4
+    // is tractable — the clamped (<= 4096-per-axis) seed grid must run
+    // and the branch-and-bound deliver the tolerance contract
+    val strip = PolygonG(Seq((0.0, 0.0), (1.0e8, 0.0), (1.0e8, 1.0),
+      (0.0, 1.0), (0.0, 0.0)))
+    val r = Polylabel.polylabel(strip, 1.0e4)
+    assert(Geom.pointInPolygon(r.x, r.y, strip))
+    assert(r.dist === 0.5) // pole clearance of a 1-unit-tall strip
+  }
+
+  test("kernel signedDistance == per-edge segmentDistance + parity, bit-exact") {
+    // the fused block-scan kernel (sqrt/div gating, block bbox skips)
+    // must agree BIT-FOR-BIT with the naive per-edge formulation on
+    // random polygons and probes — the gating must never change a result
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (_ <- 0 until 60) {
+      val n = 3 + rnd.nextInt(60)
+      val pts = Seq.tabulate(n)(_ =>
+        (rnd.nextDouble() * 20.0 - 10.0, rnd.nextDouble() * 20.0 - 10.0))
+      val poly = PolygonG(pts :+ pts.head)
+      val prepared = Polylabel.prepare(poly)
+      for (_ <- 0 until 40) {
+        val px = rnd.nextDouble() * 30.0 - 15.0
+        val py = rnd.nextDouble() * 30.0 - 15.0
+        val got = Polylabel.signedDistance(px, py, prepared)
+        var mn = Double.PositiveInfinity
+        for (ring <- poly.rings) {
+          var i = 0
+          while (i < ring.nEdges) {
+            val d = Geom.segmentDistance(px, py,
+              ring.xs(i), ring.ys(i), ring.xs(i + 1), ring.ys(i + 1))
+            if (d < mn) mn = d
+            i += 1
+          }
+        }
+        val want = if (Geom.pointInPolygon(px, py, poly)) mn else -mn
+        assert(java.lang.Double.doubleToLongBits(got) ===
+          java.lang.Double.doubleToLongBits(want),
+          s"kernel $got != per-edge $want at ($px, $py)")
+      }
+    }
   }
 }

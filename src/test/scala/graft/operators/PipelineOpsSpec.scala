@@ -100,6 +100,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.subsetOf(truth), s"false positives: ${got -- truth}")
   }
 
+  test("minhash LSH: exact-dup clusters stay LINEAR in the verify (scale shape)") {
+    // Plant a 300-copy exact-duplicate cluster plus 20 distinct docs. The
+    // verify-side candidate pairs must be REP-level (bounded by distinct
+    // texts, not by cluster membership: uncollapsed banding would emit
+    // C(300,2) ~ 45k candidate pairs into the shingle-join verify).
+    val cluster = (0L until 300L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog tonight", "en"))
+    val others = (300L until 320L)
+      .map(i => (i, s"distinct document number $i with words w${i}a w${i}b w${i}c", "en"))
+    val d = (cluster ++ others).toDF("doc_id", "text", "lang")
+    val (out, repCand) = Dedup.minhashLshPairsImpl(d, 16, 4, 1, 2)
+    val nCand = repCand.count()
+    assert(nCand <= 210L, s"verify-side candidates must be rep-level, got $nCand")
+    // the OUTPUT still contains every within-cluster pair, at jaccard 1
+    val within = out.where(col("doc_a") < 300 && col("doc_b") < 300)
+    assert(within.count() === 300L * 299L / 2L)
+    assert(within.where(col("inter") =!= col("uni")).count() === 0L)
+    out.unpersist(blocking = true)
+  }
+
+  test("operators release every cached intermediate (only the result stays)") {
+    // the measured failure mode: stale cached blocks from one operator
+    // evicting the next operator's execution memory (14 s -> 195 s join)
+    val sc = spark.sparkContext
+    def assertClean(name: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = build
+      out.count()
+      out.unpersist(blocking = true)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked ${leaked.size} cached RDD(s)")
+    }
+    assertClean("ngramJaccardPairs")(Dedup.ngramJaccardPairs(docs, 1, 2, dfMax = 50))
+    assertClean("minhashLshPairs")(Dedup.minhashLshPairs(docs, 16, 4, 1, 2))
+    assertClean("bruteTopK")(Similarity.bruteTopK(embeddings, 5, 3))
+    assertClean("annTopK")(Similarity.annTopK(embeddings, 5, 3, multiProbe = true))
+    assertClean("nearDupPairs")(Similarity.nearDupPairs(embeddings, 900))
+  }
+
   test("quality metrics are internally consistent") {
     val q = TextOps.quality(docs).collect()
     for (r <- q) {

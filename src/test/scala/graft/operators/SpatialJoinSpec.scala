@@ -92,6 +92,43 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(gotPart === brute)
   }
 
+  test("knnJoin multi-round carry-forward: sparse labels, many rounds == brute") {
+    // 25 labels over a level-11 grid: almost nothing resolves in round 1,
+    // so rounds 2..4 exercise the carried-candidate union + annulus-shell
+    // explode path specifically (and the fallback catches the rest)
+    val labels = polys
+      .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+    val k = 4
+    val w = Window.partitionBy("point_id").orderBy($"d2", $"poly_id")
+    val brute = points.limit(500).crossJoin(labels)
+      .withColumn("d2", ($"x" - $"lx") * ($"x" - $"lx") + ($"y" - $"ly") * ($"y" - $"ly"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    for (bcast <- Seq(true, false)) {
+      val got = SpatialJoins.knnJoin(points.limit(500), labels, k, level = 11,
+        rounds = Seq(1, 2, 4, 8, 16), broadcastLabels = bcast)
+      val gotSet = got.select($"point_id", $"poly_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      got.unpersist(blocking = true)
+      assert(gotSet === brute, s"broadcastLabels=$bcast")
+    }
+  }
+
+  test("knnJoin releases every cached intermediate (only the result stays)") {
+    val labels = polys
+      .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = SpatialJoins.knnJoin(points.limit(400), labels, 3, level = 9)
+    out.count()
+    out.unpersist(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"knnJoin leaked ${leaked.size} cached RDD(s)")
+  }
+
   test("knnJoin resolves every point exactly k times") {
     val labels = polys
       .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
