@@ -91,7 +91,7 @@ object BenchWorkloads {
     */
   def exec(df: DataFrame): Unit = {
     df.write.format("noop").mode("overwrite").save()
-    df.unpersist(blocking = true)
+    graft.operators.Caching.release(df)
   }
 
   def runAll(spark: SparkSession, sfDir: String, scale: Double = 1.0,

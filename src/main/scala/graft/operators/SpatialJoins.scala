@@ -131,33 +131,49 @@ object SpatialJoins {
     * early-exit when everything is resolved and lets each superseded
     * round's cache be dropped immediately. The returned DataFrame is
     * itself materialized+cached and all intermediates unpersisted — no
-    * cached state leaks beyond the (output-sized) result; callers may
-    * `unpersist()` the result when done.
+    * cached state leaks beyond the (output-sized) result; callers drop
+    * the result with `unpersist()` (or `Caching.release`) when done.
     *
-    * CARRY-FORWARD: round r+1 does NOT re-explode the full (2r+1)^2 ring
-    * for still-unresolved points. The previous round's candidate set is
-    * cached UNPRUNED (candidates past the guarantee radius may resolve a
-    * later round), restricted to the surviving points, and unioned with
-    * an explode of only the NEW ring shell (`cell_annulus(prevR, r]`) —
-    * the same candidate set the full re-explode would produce (Chebyshev
-    * disks nest; SpatialJoinSpec asserts output equality and the shell
-    * explode is (2r+1)^2 - (2p+1)^2 cells instead of (2r+1)^2).
+    * CARRY-FORWARD (`carryForward = true`, off by default): round r+1
+    * reuses the previous round's candidates — cached UNPRUNED, restricted
+    * to surviving points — and explodes only the NEW ring shell
+    * (`cell_annulus(prevR, r]`); Chebyshev disks nest, so the candidate
+    * set is identical to the full re-explode (SpatialJoinSpec asserts
+    * output equality). MEASURED AND DEFAULTED OFF: making candidates
+    * carriable forces materializing the unpruned candidate frame
+    * (points x ring cells x label density rows — ~190M rows / ~8 GB at
+    * bench scale 32), and that materialization took the 8-core bench
+    * round from ~30 s to 346 s. With a well-chosen cell level almost
+    * every point resolves in round 1, so re-exploding the small
+    * unresolved TAIL (the default) is strictly cheaper than storing
+    * everything in case it is needed. The option remains for workloads
+    * whose label density forces most points through many rounds.
     *
-    * LINEAGE TRUNCATION: the per-round frames are materialized with a
-    * lazy `localCheckpoint`, not a bare persist. An iterative chain of
+    * LINEAGE TRUNCATION: the unresolved-points chain (and the carried
+    * candidates in carry mode) is materialized with an EAGER
+    * `localCheckpoint`, not a bare persist. An iterative chain of
     * persisted frames keeps its full LOGICAL lineage, and this loop's
-    * lineage grows ~2.7^rounds (each round references the previous
-    * unresolved set twice and the carried candidates once) — measured: a
+    * lineage otherwise grows exponentially in the round count (each
+    * round references the previous unresolved set twice) — measured: a
     * 5-round run built a 2.1 GB plan string and OOM'd the driver inside
-    * AQE's plan-update logging. The checkpoint replaces each round's plan
-    * with a LogicalRDD leaf, so every round's plan is constant-size. The
-    * trade (standard for iterative Spark algorithms): checkpointed blocks
-    * are not recomputable on executor loss — acceptable for a bounded
-    * intra-operator loop whose storage level spills to disk.
+    * AQE's plan-update logging. The checkpoint replaces the chain's plan
+    * with a LogicalRDD leaf, so every round's plan is constant-size.
+    * Eager is load-bearing: a lazy local checkpoint first computed inside
+    * an AQE shuffle-map stage (submitMapStage skips `doCheckpoint`) never
+    * finalizes, and releasing it then poisons every later job that walks
+    * the lineage. Round outputs (`ranked`) and the result stay COLUMNAR
+    * persists — InMemoryRelation scans measured ~4x faster than
+    * row-format checkpoint blocks at bench scale 32 — and nothing is
+    * released until the result is materialized, because a result branch
+    * whose cache substitution misses may recompute through these blocks,
+    * and a released local checkpoint on that path is unrecoverable
+    * (blocks are not rebuildable on executor loss — the standard
+    * iterative-Spark trade, bounded to this operator's lifetime).
     */
   def knnJoin(points: DataFrame, labels: DataFrame, k: Int, level: Int,
               rounds: Seq[Int] = Seq(1, 2, 4, 8),
-              broadcastLabels: Boolean = true): DataFrame = {
+              broadcastLabels: Boolean = true,
+              carryForward: Boolean = false): DataFrame = {
     val cellW = CellIndex.SpanX / CellIndex.gridSize(level).toDouble
     val cellH = CellIndex.SpanY / CellIndex.gridSize(level).toDouble
     val minDim = math.min(cellW, cellH)
@@ -195,21 +211,30 @@ object SpatialJoins {
     var carried: DataFrame = null // prev round's UNPRUNED candidates, cached
     var prevR = 0
     val cacheHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val releaseHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
     val it = rounds.iterator
     while (it.hasNext && nLeft > 0) {
       val r = it.next()
+      // in carry mode, rounds after the first explode only the new shell;
+      // in the default mode every round explodes the full disk for the
+      // (small) unresolved tail
+      val fullDisk = !carryForward || carried == null
       val newCand = roundCandidates(unresolved, lab, r, prevR,
-        first = carried == null, broadcastLabels = broadcastLabels)
-      // candidates within the FULL disk of radius r: carried (restricted
-      // to surviving points — no broadcast hint: the restriction side
-      // scales with the unresolved count, AQE picks broadcast when small)
-      // plus the new shell. Kept unpruned for the next round.
-      val candAll = truncated(
-        if (carried == null) withD2(newCand)
-        else carried
-          .join(unresolved.select("point_id"), Seq("point_id"), "leftsemi")
-          .unionByName(withD2(newCand)))
+        first = fullDisk, broadcastLabels = broadcastLabels)
+      // Default path: the full-disk candidates are computed LAZILY inside
+      // the ranking job and pruned before its exchange — never stored.
+      // Carry-forward path: carried (restricted to surviving points — no
+      // broadcast hint, AQE picks one when small) union the new shell,
+      // materialized unpruned for the next round (see the trade-off note
+      // in the scaladoc).
+      val candAll =
+        if (!carryForward) withD2(newCand)
+        else truncated(
+          if (carried == null) withD2(newCand)
+          else carried
+            .join(unresolved.select("point_id"), Seq("point_id"), "leftsemi")
+            .unionByName(withD2(newCand)))
 
       // One window pass carries BOTH the ranking and the resolution proof.
       // The <= rad2 prune is lossless: a point resolves at ring radius r
@@ -221,6 +246,9 @@ object SpatialJoins {
       // resolved-semi-join stage; the same exchange serves both windows.
       val rad2 = (r * minDim) * (r * minDim)
       val wc = Window.partitionBy("point_id")
+      // ranked stays a COLUMNAR persist (an InMemoryRelation scans far
+      // faster than row-format checkpoint blocks — measured 4x on the
+      // scale-32 bench when ranked/result were checkpointed instead)
       val ranked = candAll.where(col("d2") <= rad2)
         .withColumn("dist", sqrt(col("d2")))
         .withColumn("rank", row_number().over(w))
@@ -233,14 +261,26 @@ object SpatialJoins {
       cacheHandles += ranked
       val okIds = ranked.where(col("rank") === 1 && col("n_cand") >= k)
         .select(col("point_id").as("ok_id"))
+      val t0 = System.nanoTime()
       val next = truncated(
         unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti"))
+      val tCkpt = System.nanoTime()
       nLeft = next.count()
-      // everything derived from the superseded blocks (this round's
-      // candAll, ranked, next) is materialized — release them now
-      release(unresolved)
-      if (carried != null) release(carried)
-      carried = candAll
+      if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+        System.err.println(f"[knn] round r=$r ckpt=${(tCkpt - t0) / 1e9}%.2f s " +
+          f"count=${(System.nanoTime() - tCkpt) / 1e9}%.2f s nLeft=$nLeft")
+      // NOTHING is released mid-loop: the result assembly below may
+      // recompute a branch whose lineage reads these blocks (cache
+      // substitution is not guaranteed across the union), and a released
+      // local checkpoint in that path is an unrecoverable error — the
+      // measured crash mode. All storage is dropped together after the
+      // result is materialized; MEMORY_AND_DISK spills rather than OOMs
+      // in the meantime.
+      releaseHandles += unresolved
+      if (carryForward) {
+        if (carried != null) releaseHandles += carried
+        carried = candAll
+      }
       prevR = r
       unresolved = next
     }
@@ -257,10 +297,14 @@ object SpatialJoins {
           .where(col("rank") <= k)
           .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank") :: resolvedParts
       }
+    val tRes = System.nanoTime()
     val result = parts.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
+    if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+      System.err.println(f"[knn] result assembly=${(System.nanoTime() - tRes) / 1e9}%.2f s")
     cacheHandles.foreach(_.unpersist(blocking = false))
+    releaseHandles.foreach(release)
     if (carried != null) release(carried)
     release(unresolved)
     lab.unpersist(blocking = false)
@@ -309,14 +353,6 @@ object SpatialJoins {
   private def truncated(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true)
 
-  /** Release the blocks behind a [[truncated]] frame (localCheckpoint
-    * data is not registered with the CacheManager, so `unpersist()` on
-    * the Dataset cannot reach it — go through the LogicalRDD leaf).
-    */
-  private def release(df: DataFrame): Unit =
-    df.queryExecution.logical.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+  /** Release the blocks behind a [[truncated]] frame. */
+  private def release(df: DataFrame): Unit = Caching.release(df)
 }

@@ -128,7 +128,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       val before = sc.getPersistentRDDs.keySet
       val out = build
       out.count()
-      out.unpersist(blocking = true)
+      Caching.release(out)
       val leaked = sc.getPersistentRDDs.keySet -- before
       assert(leaked.isEmpty, s"$name leaked ${leaked.size} cached RDD(s)")
     }

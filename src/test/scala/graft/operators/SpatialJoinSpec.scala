@@ -107,13 +107,14 @@ class SpatialJoinSpec extends AnyFunSuite {
       .where($"rank" <= k)
       .select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
-    for (bcast <- Seq(true, false)) {
+    for (bcast <- Seq(true, false); carry <- Seq(false, true)) {
       val got = SpatialJoins.knnJoin(points.limit(500), labels, k, level = 11,
-        rounds = Seq(1, 2, 4, 8, 16), broadcastLabels = bcast)
+        rounds = Seq(1, 2, 4, 8, 16), broadcastLabels = bcast,
+        carryForward = carry)
       val gotSet = got.select($"point_id", $"poly_id", $"rank")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
-      got.unpersist(blocking = true)
-      assert(gotSet === brute, s"broadcastLabels=$bcast")
+      Caching.release(got)
+      assert(gotSet === brute, s"broadcastLabels=$bcast carryForward=$carry")
     }
   }
 
@@ -124,7 +125,7 @@ class SpatialJoinSpec extends AnyFunSuite {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val out = SpatialJoins.knnJoin(points.limit(400), labels, 3, level = 9)
     out.count()
-    out.unpersist(blocking = true)
+    Caching.release(out)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"knnJoin leaked ${leaked.size} cached RDD(s)")
   }
