@@ -246,21 +246,29 @@ object SpatialJoins {
       // resolved-semi-join stage; the same exchange serves both windows.
       val rad2 = (r * minDim) * (r * minDim)
       val wc = Window.partitionBy("point_id")
-      // ranked stays a COLUMNAR persist (an InMemoryRelation scans far
-      // faster than row-format checkpoint blocks — measured 4x on the
-      // scale-32 bench when ranked/result were checkpointed instead)
       val ranked = candAll.where(col("d2") <= rad2)
-        .withColumn("dist", sqrt(col("d2")))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .withColumn("n_cand", count(lit(1)).over(wc))
-        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank", "n_cand")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      resolvedParts ::= ranked.where(col("n_cand") >= k)
+      // What gets cached is the round's RESOLVED OUTPUT SLICE — as a
+      // DIRECTLY-persisted columnar dataset, not a filtered view over a
+      // cached `ranked`. The result union only substitutes a branch's
+      // cache when the branch IS the cached dataset (measured: a union of
+      // directly-cached parts reads buffers in ~1 s where the
+      // filtered-view formulation recomputed every round's window
+      // pipeline — a flat, memory-bandwidth-bound ~14 s at ANY core
+      // count, the dominant parallelism-insensitive cost of this
+      // operator). `dist` is computed here, after the rank filter — the
+      // window exchange carries d2 only, not a redundant sqrt column.
+      val part = ranked.where(col("n_cand") >= k)
+        .withColumn("dist", sqrt(col("d2")))
         .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
-      cacheHandles += ranked
-      val okIds = ranked.where(col("rank") === 1 && col("n_cand") >= k)
-        .select(col("point_id").as("ok_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resolvedParts ::= part
+      cacheHandles += part
+      // resolved ids come off the part's cache (rank==1 marks each
+      // resolved point exactly once)
+      val okIds = part.where(col("rank") === 1).select(col("point_id").as("ok_id"))
       val t0 = System.nanoTime()
       val next = truncated(
         unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti"))
