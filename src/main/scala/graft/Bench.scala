@@ -175,10 +175,15 @@ object ScalingBench {
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toDouble
     val headline = Set("polylabel_mixed", "pip_join", "knn_join", "tile_assign",
       "pipeline")
-    // shuffle partitions sized to the DATA and held constant across both
-    // parallelism levels — tying them to the core count makes local[8]
-    // spill on partitions 4x the size, distorting the comparison
-    val spark = GraftSession.create(s"local[$cores]", 128, s"graft-scale-$cores")
+    // shuffle partitions sized to the DATA (2 per scale unit, floor 128)
+    // and held constant across both parallelism levels — tying them to
+    // the core count makes local[8] spill on partitions 4x the size,
+    // and pinning them regardless of scale makes scale-128 window sorts
+    // carry ~100 MB per partition, spilling under 32 concurrent tasks
+    // where 8 survive (measured: 62 -> 46 s warm knn at scale 128 going
+    // 128 -> 256 partitions at local[32])
+    val spark = GraftSession.create(s"local[$cores]",
+      math.max(128, (scale * 2).toInt), s"graft-scale-$cores")
     BenchWorkloads.runAll(spark, sfDir, scale / 8.0, headline) // warm-up (JIT, page cache)
     // min of several measured passes: robust against transient co-tenant
     // interference on the shared box (observed: the SAME binary varies
