@@ -96,24 +96,49 @@ object BenchWorkloads {
 
   def runAll(spark: SparkSession, sfDir: String, scale: Double = 1.0,
              only: Set[String] = Set.empty): Map[String, Double] =
-    all(spark, sfDir, scale)
-      .filter { case (n, _, _) => only.isEmpty || only(n) }
-      .map { case (name, _, build) =>
+    runAllSafe(spark, sfDir, scale, only)._1
+
+  /** Crash-proof pass: each workload is isolated in try/catch so one
+    * failure (round 3's driver bench died to a SINGLE transient task
+    * abort) records an error entry instead of unwinding main before the
+    * JSON evidence line prints. Returns (seconds per succeeded workload,
+    * error message per failed workload).
+    */
+  def runAllSafe(spark: SparkSession, sfDir: String, scale: Double = 1.0,
+                 only: Set[String] = Set.empty): (Map[String, Double], Map[String, String]) =
+    runSeq(spark,
+      all(spark, sfDir, scale).filter { case (n, _, _) => only.isEmpty || only(n) })
+
+  private[graft] def runSeq(spark: SparkSession,
+      workloads: Seq[(String, Long, () => DataFrame)]): (Map[String, Double], Map[String, String]) = {
+    val times = Map.newBuilder[String, Double]
+    val errors = Map.newBuilder[String, String]
+    for ((name, _, build) <- workloads) {
       val t0 = System.nanoTime()
-      exec(build())
-      val t = (System.nanoTime() - t0) / 1e9
+      try {
+        exec(build())
+        times += name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ERROR: workload $name failed: $e")
+          errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+      }
       // Leak tripwire: every operator owns its caches (measured failure:
       // one workload's stale cached blocks turned the next's 14 s join
       // into 195 s). A leak here is a bug — clean it up LOUDLY (stderr;
-      // stdout carries the one-line JSON contract).
+      // stdout carries the one-line JSON contract). After a FAILED
+      // workload the cleanup is expected (the operator never reached its
+      // own release), and load-bearing: its stranded blocks must not
+      // poison the next workload's measurement.
       val leaked = spark.sparkContext.getPersistentRDDs
       if (leaked.nonEmpty) {
-        System.err.println(s"[bench] WARNING: $name leaked ${leaked.size} cached RDD(s) — releasing")
+        System.err.println(s"[bench] WARNING: $name left ${leaked.size} cached RDD(s) — releasing")
         spark.sharedState.cacheManager.clearCache()
         leaked.values.foreach(_.unpersist(blocking = true))
       }
-      name -> t
-    }.toMap
+    }
+    (times.result(), errors.result())
+  }
 }
 
 /** Driver-run benchmark: one JSON line, per-query seconds.
@@ -126,17 +151,47 @@ object BenchWorkloads {
   * ScalingBench has used the same methodology since round 2.
   */
 object Bench {
+
+  /** Render the one-line JSON evidence. Failed-in-every-pass workloads
+    * report -1 in `queries` plus an `errors` object — the line must carry
+    * partial evidence no matter what died (round 3's lesson).
+    */
+  private[graft] def renderJson(results: Map[String, Double],
+                                errors: Map[String, String],
+                                sfDir: String): String = {
+    def esc(s: String): String =
+      s.flatMap { c => if (c == '"' || c == '\\') s"\\$c"
+                       else if (c < ' ') " " else c.toString }
+    val names = (results.keySet ++ errors.keySet).toSeq.sorted
+    val qs = names.map { k =>
+      "\"" + k + "\":" + results.get(k).map(v => f"$v%.3f").getOrElse("-1")
+    }.mkString("{", ",", "}")
+    val total = results.values.sum
+    val errPart =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt, "graft-bench")
-    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAll(spark, sfDir))
-    val results = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.values.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // per-workload + per-pass isolation: a workload that fails one pass
+    // can still report the min over its other passes; only
+    // failed-in-every-pass workloads surface as errors
+    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAllSafe(spark, sfDir))
+    val names = passes.flatMap(p => p._1.keys ++ p._2.keys).distinct
+    val results = names.flatMap { k =>
+      val ts = passes.flatMap(_._1.get(k))
+      if (ts.isEmpty) None else Some(k -> ts.min)
+    }.toMap
+    val errors = names.filterNot(results.contains)
+      .flatMap(k => passes.flatMap(_._2.get(k)).lastOption.map(k -> _)).toMap
+    val line = renderJson(results, errors, sfDir)
     // stdout line is the driver contract (clean thanks to the sbt
     // StdoutOutput strategy); the file is the belt-and-braces artifact
     println(line)
@@ -144,6 +199,7 @@ object Bench {
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1) // evidence printed; still flag the run
   }
 }
 
@@ -190,8 +246,12 @@ object ScalingBench {
     // 6 s vs 37 s minutes apart — interference only ever ADDS time, so
     // minimums over many interleaved rounds estimate the quiet-box value)
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAll(spark, sfDir, scale, headline))
-    val r = passes.head.keys.map(k => k -> passes.map(_(k)).min).toMap
+    // same per-workload isolation as Bench: a single transient task abort
+    // must cost one sample, not the whole campaign side
+    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAllSafe(spark, sfDir, scale, headline)._1)
+    val r = passes.flatMap(_.keys).distinct
+      .map(k => k -> passes.flatMap(_.get(k)))
+      .collect { case (k, ts) if ts.nonEmpty => k -> ts.min }.toMap
     spark.stop()
     val qs = r.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

@@ -9,9 +9,25 @@ import graft.functions.GraftFunctions
   * UTC, and the graft function registry installed.
   */
 object GraftSession {
+
+  /** In local mode the master string `local[N]` hard-codes
+    * spark.task.maxFailures = 1 (SparkContext.createTaskScheduler uses
+    * MAX_LOCAL_TASK_FAILURES for that form and ignores the conf), so ONE
+    * transient task failure aborts the whole job — the round-3 driver
+    * bench died exactly this way (a single FileFormatWriter task abort on
+    * a co-tenant interference window zeroed the round's evidence). The
+    * `local[N,F]` form is the only way to get retries locally; rewrite
+    * plain `local[N]` masters to it. Explicit masters pass through.
+    */
+  private val LocalN = """local\[(\d+)\]""".r
+  private[graft] def withTaskRetries(master: String): String = master match {
+    case LocalN(n) => s"local[$n,4]"
+    case other => other
+  }
+
   def create(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
-      .master(master)
+      .master(withTaskRetries(master))
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
