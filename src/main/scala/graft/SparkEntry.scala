@@ -315,19 +315,22 @@ object SparkEntry {
     // the decode stubs never touch the oracle path.
     "q_multimodal" -> ((s, _) => {
       // cached: three consumers (metadata select, frame sampling, audio
-      // windowing) would otherwise regenerate all payloads per branch
+      // windowing) would otherwise regenerate all payloads per branch;
+      // released per the house cache rule once the (small) result is
+      // materialized
       val media = graft.sources.Multimodal.table(s, 500).cache()
       val frames = graft.sources.Multimodal.frameSample(media, everyN = 7)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames_sampled"))
       val feats = graft.sources.Multimodal.audioFeatures(media, windows = 8)
         .groupBy("media_id").agg(count(lit(1)).as("n_windows"))
-      media.toDF.select(col("media_id"), col("kind"),
+      val out = media.toDF.select(col("media_id"), col("kind"),
           col("meta.n_frames").as("n_frames"),
           col("meta.duration_ms").as("duration_ms"))
         .join(frames, Seq("media_id"), "left")
         .join(feats, Seq("media_id"), "left")
         .na.fill(Map("n_frames_sampled" -> 0L, "n_windows" -> 0L))
         .orderBy("media_id")
+      graft.operators.Caching.materializeAndRelease(out, media.toDF)
     }),
 
     // ---- Structured Streaming (E17): file stream == batch oracle ---------

@@ -24,16 +24,38 @@ object Caching {
     out
   }
 
-  /** Release a frame returned by a graft operator, whether its storage is
-    * a registered cache (`persist`) or localCheckpoint blocks — the
-    * latter are NOT registered with the CacheManager, so a bare
-    * `Dataset.unpersist()` cannot reach them; the blocks hide behind the
-    * plan's LogicalRDD leaf.
+  // RDD ids of localCheckpoint leaves the graft operators created
+  // themselves (via SpatialJoins.truncated -> own()). release() only
+  // unpersists leaf RDDs on this list: checkpoint blocks are
+  // UNRECOVERABLE, so blindly unpersisting every LogicalRDD leaf of an
+  // arbitrary frame could poison another still-live consumer sharing a
+  // caller-made checkpoint (Bench.exec calls release() on arbitrary
+  // workload results).
+  private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Tag a graft-made localCheckpoint frame's leaf RDDs as owned by the
+    * engine, making them eligible for [[release]].
+    */
+  def own(df: DataFrame): DataFrame = {
+    df.queryExecution.logical.collectLeaves().foreach {
+      case l: LogicalRDD => owned.add(l.rdd.id)
+      case _ => ()
+    }
+    df
+  }
+
+  /** Release a frame returned by a graft operator: drops its registered
+    * cache (`persist`), plus any localCheckpoint blocks behind the plan's
+    * LogicalRDD leaves — but ONLY leaves the graft operators created
+    * (tagged via [[own]]). Checkpoint blocks are not in the CacheManager,
+    * so a bare `Dataset.unpersist()` cannot reach them; and a
+    * caller-made checkpoint leaf is the caller's property — releasing it
+    * here would unrecoverably poison any other consumer of that frame.
     */
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
     df.queryExecution.logical.collectLeaves().foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: LogicalRDD if owned.remove(l.rdd.id) => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
   }

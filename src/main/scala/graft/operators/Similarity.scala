@@ -63,10 +63,18 @@ object Similarity {
     * computes in-place.
     */
   def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame =
-    embeddings.select(col("vec_id"),
-      lsh_bucket(transform(col("embedding"),
-          v => round(v.cast("double") * 1000.0, 0).cast("long")),
-        lit(planes), lit(dim)).as("bucket"))
+    // null/empty embeddings emit NO bucket row — mirroring the relational
+    // formulation (and the SQL oracles' bk CTE), where a vector with no
+    // components never reaches the bucket aggregate. Without the filter
+    // every such vector lands in bucket 0/null, inflating candidate sets
+    // and double-counting against nearDupPairs' (label, bucket) group-size
+    // guard in a way the oracle doesn't.
+    embeddings
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        lsh_bucket(transform(col("embedding"),
+            v => round(v.cast("double") * 1000.0, 0).cast("long")),
+          lit(planes), lit(dim)).as("bucket"))
 
   /** ANN top-k: candidates share one of the query's probe buckets; exact
     * integer dot re-ranks within the candidates. Output

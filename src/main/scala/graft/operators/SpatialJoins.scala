@@ -40,29 +40,45 @@ object SpatialJoins {
     * tables keep the broadcast.
     */
   def pipJoin(points: DataFrame, polygons: DataFrame, level: Int,
-              broadcastPolygons: Option[Boolean] = None): DataFrame = {
+              broadcastPolygons: Option[Boolean] = None,
+              slimShuffle: Boolean = true): DataFrame = {
     val spark = points.sparkSession
     val doBroadcast = broadcastPolygons.getOrElse {
       val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
       if (thr <= 0) false // user disabled broadcasting entirely — honor it
       else {
         val st = polygons.queryExecution.optimizedPlan.stats
-        // "unknown stats" means EXACTLY the conf's defaultSizeInBytes
-        // sentinel (a stat-less leaf): that reads as the dimension-table
-        // assumption (a caller with a genuinely huge stats-less table
-        // passes Some(false)). A plan whose estimate merely multiplied
-        // its way to a huge number is KNOWN-huge — no broadcast.
-        val unknown =
-          st.sizeInBytes == BigInt(spark.sessionState.conf.defaultSizeInBytes)
+        // "unknown stats" means the plan contains a stats-less LEAF (its
+        // sizeInBytes is the conf's defaultSizeInBytes sentinel): that
+        // reads as the dimension-table assumption (a caller with a
+        // genuinely huge stats-less table passes Some(false)). The leaf
+        // check matters: a projection/filter over a stats-less leaf
+        // SCALES the sentinel, so the old top-of-plan equality test
+        // misread any such frame as known-huge and silently disabled the
+        // documented dimension-table default. A plan whose leaves all
+        // have real stats but whose estimate multiplied its way to a
+        // huge number is KNOWN-huge — no broadcast.
+        val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+        val unknown = st.sizeInBytes == sentinel ||
+          polygons.queryExecution.optimizedPlan.collectLeaves()
+            .exists(_.stats.sizeInBytes == sentinel)
         if (unknown) true
         else {
           // size what is actually broadcast: the slim (cell_id, poly_id)
           // cover fan-out (16 B x cells-per-polygon; rowCount when CBO
           // stats exist, else geometry bytes as a same-order proxy — a
-          // ~100-vertex polygon's geometry and its ~64-cell cover rows
-          // are comparable) PLUS the geometry once per polygon
-          val coverBytes = st.rowCount.map(rc => rc * 16 * 64)
-            .getOrElse(st.sizeInBytes)
+          // ~100-vertex polygon's geometry and its cover rows are
+          // comparable at the nominal level 10) PLUS the geometry once
+          // per polygon. Cover fan-out grows ~4x per level past the
+          // nominal measurement level (area-dominated covers), so the
+          // per-polygon cell estimate scales with `level` instead of
+          // pinning 64 — a level-14 cover is ~256x a level-10 one and a
+          // fixed estimate would under-size the broadcast badly.
+          val cellsPerPoly =
+            if (level >= 10) BigInt(64) << (2 * math.min(level - 10, 16))
+            else (BigInt(64) >> (2 * (10 - level))) max BigInt(4)
+          val coverBytes = st.rowCount.map(rc => rc * 16 * cellsPerPoly)
+            .getOrElse(st.sizeInBytes * cellsPerPoly / 64)
           st.sizeInBytes + coverBytes <= BigInt(thr) * 16
         }
       }
@@ -73,10 +89,29 @@ object SpatialJoins {
         explode(polygon_cover(col("exterior"), col("holes"), lit(level))).as("cell_id"))
       pts.join(broadcast(cellMap), "cell_id")
         .join(broadcast(polygons), "poly_id")
+    } else if (slimShuffle) {
+      // shuffle path, two-stage like the broadcast path: shuffle the SLIM
+      // (cell_id, poly_id) cover against the points, then re-join the
+      // geometry once per matched pair by poly_id for the refine. The
+      // alternative (geometry riding the cell shuffle, `slimShuffle =
+      // false` below) replicates each polygon's full geometry once per
+      // cover cell — an 8,854-vertex Norway-class polygon's ~140 KB rides
+      // the shuffle thousands of times at level 12+, and this path is
+      // exactly the one chosen for KNOWN-huge polygon tables. Measured
+      // A/B (graft.AbBench pip_shuffle, 2M points, min over interleaved
+      // passes; table in COVERAGE.md): level 12 x 1 Norway copy slim
+      // 2.0 s vs fat 13.5 s (6.8x); level 12 x 4 copies slim 8.3 s vs
+      // fat OutOfMemoryError (the ~36 GB replicated-geometry shuffle
+      // exhausts the 16 GB JVM); level 10 x 30 copies (small covers,
+      // the fat plan's best regime) slim 5.0 s vs fat 7.7 s — the slim
+      // re-join's extra shuffle of (point, poly_id) pairs never loses.
+      val cover = polygons.select(col("poly_id"),
+        explode(polygon_cover(col("exterior"), col("holes"), lit(level))).as("cell_id"))
+      pts.join(cover, "cell_id")
+        .join(polygons, "poly_id")
     } else {
-      // shuffle path: one sort-merge on the dense int64 cell key with the
-      // geometry riding along (a second shuffle of the prefiltered
-      // intermediate would cost more than the cover replication)
+      // measured-and-rejected default; kept for the small-geometry regime
+      // and the A/B harness
       val cover = polygons
         .withColumn("cell_id", explode(polygon_cover(col("exterior"), col("holes"), lit(level))))
       pts.join(cover, "cell_id")
@@ -117,8 +152,11 @@ object SpatialJoins {
     * resolved when it has >= k candidates AND its kth distance is
     * <= r * cellSize — the geometric guarantee that nothing outside the
     * ring can be closer. Unresolved points (sparse regions) go to the
-    * next round; the final fallback is a broadcast of the (tiny) leftover
-    * point set against all labels. Output: (point cols, poly_id, dist, rank).
+    * next round; past the caller's rounds, ADAPTIVE EXTENSION rounds keep
+    * quadrupling the search radius by re-keying both sides at coarser
+    * grid levels (still 3x3-disk cell equi-joins — never a cross join)
+    * until the disk covers the grid and everything resolves.
+    * Output: (point cols, poly_id, dist, rank).
     *
     * `broadcastLabels = true` assumes the label set fits on every executor
     * (dimension-table case). With false, NEITHER side is broadcast: each
@@ -212,6 +250,66 @@ object SpatialJoins {
     var prevR = 0
     val cacheHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val releaseHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val wc = Window.partitionBy("point_id")
+
+    // One pass = rank candidates + slice the resolved output + advance the
+    // unresolved chain. Shared by the main ring rounds and the adaptive
+    // extension rounds below.
+    //
+    // One window pass carries BOTH the ranking and the resolution proof.
+    // The <= rad2 prune is lossless: a point resolves at guarantee radius
+    // rad iff it has >= k candidates with d2 <= rad^2 (if the k nearest
+    // are within the guarantee radius they all survive the filter; if
+    // not, the filtered count is < k and the point carries to the next
+    // round) — so `count() over (partition by point_id)` after the rank
+    // filter replaces a separate kth-aggregate stage and the
+    // resolved-semi-join stage; the same exchange serves both windows.
+    // With `requireK = false` (a round whose candidate set is COMPLETE —
+    // the search disk covers the whole grid) every remaining point
+    // resolves with whatever candidates exist.
+    def resolvePass(candAll: DataFrame, rad2: Double, requireK: Boolean,
+                    tag: String): Unit = {
+      val ranked = candAll.where(col("d2") <= rad2)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .withColumn("n_cand", count(lit(1)).over(wc))
+      // What gets cached is the round's RESOLVED OUTPUT SLICE — as a
+      // DIRECTLY-persisted columnar dataset, not a filtered view over a
+      // cached `ranked`. The result union only substitutes a branch's
+      // cache when the branch IS the cached dataset (measured: a union of
+      // directly-cached parts reads buffers in ~1 s where the
+      // filtered-view formulation recomputed every round's window
+      // pipeline — a flat, memory-bandwidth-bound ~14 s at ANY core
+      // count, the dominant parallelism-insensitive cost of this
+      // operator). `dist` is computed here, after the rank filter — the
+      // window exchange carries d2 only, not a redundant sqrt column.
+      val part = (if (requireK) ranked.where(col("n_cand") >= k) else ranked)
+        .withColumn("dist", sqrt(col("d2")))
+        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resolvedParts ::= part
+      cacheHandles += part
+      // resolved ids come off the part's cache (rank==1 marks each
+      // resolved point exactly once)
+      val okIds = part.where(col("rank") === 1).select(col("point_id").as("ok_id"))
+      val t0 = System.nanoTime()
+      val next = truncated(
+        unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti"))
+      val tCkpt = System.nanoTime()
+      nLeft = next.count()
+      if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
+        System.err.println(f"[knn] round $tag ckpt=${(tCkpt - t0) / 1e9}%.2f s " +
+          f"count=${(System.nanoTime() - tCkpt) / 1e9}%.2f s nLeft=$nLeft")
+      // NOTHING is released mid-loop: the result assembly below may
+      // recompute a branch whose lineage reads these blocks (cache
+      // substitution is not guaranteed across the union), and a released
+      // local checkpoint in that path is an unrecoverable error — the
+      // measured crash mode. All storage is dropped together after the
+      // result is materialized; MEMORY_AND_DISK spills rather than OOMs
+      // in the meantime.
+      releaseHandles += unresolved
+      unresolved = next
+    }
 
     val it = rounds.iterator
     while (it.hasNext && nLeft > 0) {
@@ -236,77 +334,49 @@ object SpatialJoins {
             .join(unresolved.select("point_id"), Seq("point_id"), "leftsemi")
             .unionByName(withD2(newCand)))
 
-      // One window pass carries BOTH the ranking and the resolution proof.
-      // The <= rad2 prune is lossless: a point resolves at ring radius r
-      // iff it has >= k candidates with d2 <= (r*minDim)^2 (if the k
-      // nearest are within the guarantee radius they all survive the
-      // filter; if not, the filtered count is < k and the point carries to
-      // the next round) — so `count() over (partition by point_id)` after
-      // the rank filter replaces a separate kth-aggregate stage and the
-      // resolved-semi-join stage; the same exchange serves both windows.
-      val rad2 = (r * minDim) * (r * minDim)
-      val wc = Window.partitionBy("point_id")
-      val ranked = candAll.where(col("d2") <= rad2)
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= k)
-        .withColumn("n_cand", count(lit(1)).over(wc))
-      // What gets cached is the round's RESOLVED OUTPUT SLICE — as a
-      // DIRECTLY-persisted columnar dataset, not a filtered view over a
-      // cached `ranked`. The result union only substitutes a branch's
-      // cache when the branch IS the cached dataset (measured: a union of
-      // directly-cached parts reads buffers in ~1 s where the
-      // filtered-view formulation recomputed every round's window
-      // pipeline — a flat, memory-bandwidth-bound ~14 s at ANY core
-      // count, the dominant parallelism-insensitive cost of this
-      // operator). `dist` is computed here, after the rank filter — the
-      // window exchange carries d2 only, not a redundant sqrt column.
-      val part = ranked.where(col("n_cand") >= k)
-        .withColumn("dist", sqrt(col("d2")))
-        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      resolvedParts ::= part
-      cacheHandles += part
-      // resolved ids come off the part's cache (rank==1 marks each
-      // resolved point exactly once)
-      val okIds = part.where(col("rank") === 1).select(col("point_id").as("ok_id"))
-      val t0 = System.nanoTime()
-      val next = truncated(
-        unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti"))
-      val tCkpt = System.nanoTime()
-      nLeft = next.count()
-      if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
-        System.err.println(f"[knn] round r=$r ckpt=${(tCkpt - t0) / 1e9}%.2f s " +
-          f"count=${(System.nanoTime() - tCkpt) / 1e9}%.2f s nLeft=$nLeft")
-      // NOTHING is released mid-loop: the result assembly below may
-      // recompute a branch whose lineage reads these blocks (cache
-      // substitution is not guaranteed across the union), and a released
-      // local checkpoint in that path is an unrecoverable error — the
-      // measured crash mode. All storage is dropped together after the
-      // result is materialized; MEMORY_AND_DISK spills rather than OOMs
-      // in the meantime.
-      releaseHandles += unresolved
       if (carryForward) {
         if (carried != null) releaseHandles += carried
         carried = candAll
       }
+      resolvePass(candAll, (r * minDim) * (r * minDim), requireK = true, s"r=$r")
       prevR = r
-      unresolved = next
     }
-    // fallback: whatever is left (isolated points) against all labels —
-    // skipped outright when the rounds resolved everything (the empty
-    // cross join still costs a window stage otherwise)
-    val parts =
-      if (nLeft == 0) resolvedParts
-      else {
-        val leftover = unresolved.crossJoin(if (broadcastLabels) broadcast(lab) else lab)
-        withD2(leftover)
-          .withColumn("dist", sqrt(col("d2")))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= k)
-          .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank") :: resolvedParts
+    // ADAPTIVE EXTENSION ROUNDS replace the old all-labels cross-join
+    // fallback (which, in cell-partitioned mode, was the engine's one
+    // remaining shuffle-cartesian cliff: an adversarial density mismatch
+    // with a large unresolved tail AND a non-broadcastable label side
+    // built a cartesian over both). The search radius keeps doubling by
+    // COARSENING THE GRID instead of widening the ring: a 3x3 disk of
+    // level-(L-d) cells covers the same ground as a ring of radius
+    // 3*2^d level-L cells but explodes a constant 9 cells per leftover
+    // point per round, and both sides re-key at the coarser level so the
+    // join stays a cell equi-join in either mode — never a cartesian
+    // (SpatialJoinSpec asserts the executed plans). Descending two levels
+    // per round quadruples the radius, so the round count is logarithmic
+    // in the domain/cell ratio; at gridSize <= 3 the disk covers the
+    // whole grid, the candidate set is COMPLETE, and every remaining
+    // point resolves (requireK=false — with fewer than k labels in the
+    // whole table, top-(what exists) is the correct kNN answer, exactly
+    // what the cross join produced).
+    if (nLeft > 0) {
+      // first coarsening whose guarantee radius EXCEEDS the last ring's
+      // (2^d > rounds.last): re-searching a smaller disk would waste a
+      // round
+      val dLvl = 32 - Integer.numberOfLeadingZeros(math.max(1, rounds.last))
+      var lvl = math.max(0, level - dLvl)
+      var complete = false
+      while (nLeft > 0 && !complete) {
+        complete = CellIndex.gridSize(lvl) <= 3 // 3x3 disk covers the grid
+        val minDimL = math.min(CellIndex.SpanX / CellIndex.gridSize(lvl).toDouble,
+          CellIndex.SpanY / CellIndex.gridSize(lvl).toDouble)
+        val cand = extensionCandidates(unresolved, lab, lvl, broadcastLabels)
+        val rad2 = if (complete) Double.MaxValue else minDimL * minDimL
+        resolvePass(withD2(cand), rad2, requireK = !complete, s"lvl=$lvl")
+        lvl = math.max(0, lvl - 2)
       }
+    }
     val tRes = System.nanoTime()
-    val result = parts.reduce(_ unionByName _)
+    val result = resolvedParts.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
@@ -346,6 +416,24 @@ object SpatialJoins {
       unresolved.join(labRinged, col("pcell") === col("rcell")).drop("rcell")
     }
 
+  /** One adaptive extension round's candidates: both sides re-keyed at
+    * the coarser level `lvl`, the leftover points exploded into their 3x3
+    * disk, cell equi-join against the labels — broadcast only in
+    * dimension-label mode. Package-private so SpatialJoinSpec can audit
+    * the physical shape directly (the composed operator's executed plans
+    * hide behind the lineage-truncation boundary).
+    */
+  private[graft] def extensionCandidates(unresolved: DataFrame, lab: DataFrame,
+      lvl: Int, broadcastLabels: Boolean): DataFrame = {
+    val labL = lab.withColumn("lcell2", cell_of(col("lx"), col("ly"), lit(lvl)))
+      .select("poly_id", "lx", "ly", "lcell2")
+    unresolved
+      .withColumn("ncell",
+        explode(cell_kring(cell_of(col("x"), col("y"), lit(lvl)), lit(1))))
+      .join(if (broadcastLabels) broadcast(labL) else labL,
+        col("ncell") === col("lcell2"))
+  }
+
   /** Materialize-and-truncate for the iterative kNN loop: an EAGER local
     * checkpoint replaces the frame's logical plan with a LogicalRDD leaf
     * over materialized MEMORY_AND_DISK blocks. Eager is load-bearing, not
@@ -359,7 +447,7 @@ object SpatialJoins {
     * clears the dependency chain, which is the lineage cut we want.
     */
   private def truncated(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = true)
+    Caching.own(df.localCheckpoint(eager = true))
 
   /** Release the blocks behind a [[truncated]] frame. */
   private def release(df: DataFrame): Unit = Caching.release(df)

@@ -40,6 +40,24 @@ object PipJoinRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** True when the condition already carries an equality key linking the
+    * two sides. The rewrite exists to RESCUE unconditioned products; a
+    * join that is already keyed (e.g. the staged pipJoin's geometry
+    * re-join by poly_id, whose pip refine sits in the same condition) is
+    * fine as-is, and injecting a second cover explode there re-replicates
+    * every polygon's geometry once per cover cell for no pruning gain.
+    */
+  private def hasEquiKey(cond: Expression, left: LogicalPlan,
+                         right: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a, b) =>
+        val (ar, br) = (a.references, b.references)
+        ar.nonEmpty && br.nonEmpty &&
+          ((ar.subsetOf(left.outputSet) && br.subsetOf(right.outputSet)) ||
+           (br.subsetOf(left.outputSet) && ar.subsetOf(right.outputSet)))
+      case _ => false
+    }
+
   private def splitsAcross(pip: PipExpr, left: LogicalPlan, right: LogicalPlan): Boolean = {
     val ptRefs = pip.x.references ++ pip.y.references
     val polyRefs = pip.exterior.references ++ pip.holes.references
@@ -67,9 +85,10 @@ object PipJoinRewrite extends Rule[LogicalPlan] {
         case Some(pip) => rewrite(cond, pip, left, right)
         case None => f
       }
-    // predicate already pushed into the join condition
+    // predicate already pushed into the join condition — but only when no
+    // equality key links the sides (an already-keyed join needs no rescue)
     case j @ Join(left, right, Inner | Cross, Some(cond), _)
-        if !alreadyRewritten(right) =>
+        if !alreadyRewritten(right) && !hasEquiKey(cond, left, right) =>
       splitPip(cond, left, right) match {
         case Some(pip) => rewrite(cond, pip, left, right)
         case None => j

@@ -130,6 +130,76 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"knnJoin leaked ${leaked.size} cached RDD(s)")
   }
 
+  test("knnJoin adaptive fallback: isolated points, huge label side, no cartesian anywhere") {
+    // adversarial density-mismatch layout (the old cross-join fallback's
+    // cliff): labels clustered in one corner, probe points isolated far
+    // away, a fine grid level so the caller's rounds resolve NOTHING, and
+    // cell-partitioned (non-broadcast) label mode
+    val labels = spark.range(2000).select(
+      concat(lit("L"), $"id").as("poly_id"),
+      (($"id" % 40) / 20.0 + 100.0).as("lx"),   // lon 100..102
+      (($"id" / 40 % 40) / 20.0 + 40.0).as("ly")) // lat 40..42
+    val iso = spark.range(50).select(
+      $"id".as("point_id"),
+      ($"id" % 10 - 170.0).as("x"),             // lon -170..-160: far away
+      ($"id" / 10 - 60.0).as("y"))              // lat -60..-56
+
+    // every executed plan the operator runs goes past this listener;
+    // the forbidden nodes are the unconditioned-product shapes
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        plans.add(qe.executedPlan.toString)
+    }
+    spark.listenerManager.register(listener)
+    val gotSet = try {
+      val got = SpatialJoins.knnJoin(iso, labels, k = 3, level = 12,
+        rounds = Seq(1, 2), broadcastLabels = false)
+      val g = got.select($"point_id", $"poly_id", $"rank")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      Caching.release(got)
+      g
+    } finally {
+      // listener delivery is async; drain before unregistering/asserting
+      Thread.sleep(1500)
+      spark.listenerManager.unregister(listener)
+    }
+    // only operator-issued actions were captured (the brute-force oracle
+    // below, which legitimately cross-joins, runs after unregistering)
+    val offenders = plans.toArray(Array.empty[String]).filter(p =>
+      p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+    assert(offenders.isEmpty,
+      s"operator built a cartesian/BNLJ plan:\n${offenders.mkString("\n---\n")}")
+    assert(plans.size > 0, "listener captured nothing — the audit didn't run")
+    val w = Window.partitionBy("point_id").orderBy($"d2", $"poly_id")
+    val brute = iso.crossJoin(labels)
+      .withColumn("d2", ($"x" - $"lx") * ($"x" - $"lx") + ($"y" - $"ly") * ($"y" - $"ly"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(gotSet === brute, "adaptive fallback must still produce exact kNN")
+  }
+
+  test("knnJoin extension round shape: cell equi-join in both modes, broadcast only when asked") {
+    val lab = spark.range(10).select(concat(lit("p"), $"id").as("poly_id"),
+      ($"id" * 1.0).as("lx"), ($"id" * 0.5).as("ly"),
+      cell_of($"id" * 1.0, $"id" * 0.5, lit(8)).as("lcell"))
+    val pts = spark.range(20).select($"id".as("point_id"),
+      ($"id" * 2.0 - 120.0).as("x"), ($"id" * 1.0 - 60.0).as("y"))
+    for (bcast <- Seq(true, false)) {
+      val plan = SpatialJoins.extensionCandidates(pts, lab, lvl = 5, broadcastLabels = bcast)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"extension round must stay an equi-join (bcast=$bcast):\n$plan")
+      if (bcast) assert(plan.contains("BroadcastHashJoin"), s"dimension mode should broadcast:\n$plan")
+    }
+  }
+
   test("knnJoin resolves every point exactly k times") {
     val labels = polys
       .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))

@@ -71,4 +71,34 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(again.isEmpty)
   }
 
+  test("transient TASK failure mid-wave: retried, run completes, lineage exactly-once") {
+    // a first-attempt-throws task models the round-3 crash class (one
+    // flaky task on a co-tenant interference window); GraftSession's
+    // local[N,4] master gives the scheduler retries, so the wave must
+    // complete and the lineage/output must be byte-identical to a clean
+    // run — dynamic-partition overwrite keeps redone attempts exactly-once
+    val dir = freshDir()
+    val input = spark.range(4000).select(col("id"), (col("id") % 7).as("v"))
+    val processed = IcebergLite.run(input, Seq("id"), buckets = 4,
+      bucketsPerWave = 2, dir) { df =>
+      val enc = org.apache.spark.sql.Encoders.product[(Long, Long, Int)]
+      df.select(col("id"), col("v"), col("bucket")).as[(Long, Long, Int)](enc)
+        .mapPartitions { it =>
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 0)
+            throw new RuntimeException("injected transient task failure")
+          it
+        }(enc).toDF("id", "v", "bucket")
+        .withColumn("v2", col("v") * 3)
+    }
+    assert(processed.sorted === (0 until 4), "all buckets must complete despite task failures")
+    val got = IcebergLite.readTable(spark, dir)
+      .select("id", "v2").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === (0L until 4000L).map(i => (i, (i % 7) * 3)).sorted,
+      "output must be exactly-once (no dup/lost rows from the retried task)")
+    val lineage = IcebergLite.readLineage(spark, dir)
+    assert(lineage.select("bucket").distinct().count() === 4)
+    assert(lineage.agg(sum("rows")).head().getLong(0) === 4000L)
+  }
+
 }
