@@ -25,7 +25,7 @@ done
 run_side() {
   java $ADD_OPENS -Xmx24g -XX:+UseParallelGC \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    -cp "${CLASSES_DIR:-target/scala-2.13/classes}:/opt/spark/jars/*" \
     graft.ScalingBench "$1"
 }
 

@@ -19,7 +19,43 @@ object AbBench {
       args.lift(1).map(_.toInt).getOrElse(30),
       args.lift(2).map(_.toLong).getOrElse(2000000L),
       args.lift(3).map(_.toInt).getOrElse(10))
+    case Some("knn_rounds") => knnRounds(
+      args.lift(1).map(_.toLong).getOrElse(3200000L))
     case other => sys.error(s"unknown A/B mode: $other")
+  }
+
+  /** kNN ring schedule: Seq(1,2) (narrow first round + annulus second)
+    * vs the speculatively-batched Seq(2) (one kRing(2) explode resolving
+    * both radii in a single window pass — provably the same output, the
+    * resolution test subsumes both rounds' guarantees). Trades ~25/9 more
+    * exploded candidate rows per point against one whole round of
+    * per-round driver fixed cost (~12 stages) — the measured reason knn
+    * scales worse than its siblings.
+    */
+  private def knnRounds(nPts: Long): Unit = {
+    val spark = GraftSession.create("local[32]",
+      math.max(128, (nPts / 50000L).toInt), "graft-ab-knn")
+    import spark.implicits._
+    val polys = GeoTables.syntheticPolygons(spark, 2000).toDF
+    val labels = polys
+      .withColumn("label", graft.functions.GraftFunctions.polylabel(
+        $"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    val pts = GeoTables.syntheticPoints(spark, nPts).toDF
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count()
+    for (pass <- 1 to Option(System.getenv("AB_PASSES")).map(_.toInt).getOrElse(2);
+         rounds <- Seq(Seq(1, 2), Seq(2))) {
+      val t0 = System.nanoTime()
+      val out = SpatialJoins.knnJoin(pts, labels, k = 5, level = 7, rounds = rounds)
+      out.write.format("noop").mode("overwrite").save()
+      graft.operators.Caching.release(out)
+      println(f"[ab knn_rounds] pass=$pass rounds=${rounds.mkString("+")} pts=$nPts " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
   }
 
   /** pipJoin non-broadcast (shuffle) path: slim (cell_id, poly_id) cover +

@@ -381,7 +381,15 @@ object SpatialJoins {
     result.count()
     if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
       System.err.println(f"[knn] result assembly=${(System.nanoTime() - tRes) / 1e9}%.2f s")
-    cacheHandles.foreach(_.unpersist(blocking = false))
+    // identity filter, not a no-op: when a SINGLE round resolves every
+    // point, resolvedParts.reduce returns that part itself, so `result`
+    // IS the round part (persist() on an already-persisted Dataset
+    // returns the same object) — blindly unpersisting every handle then
+    // drops the result's own storage and the caller's first read
+    // recomputes through the released checkpoint blocks
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; reproduced by AbBench
+    // knn_rounds with rounds=Seq(2))
+    cacheHandles.filterNot(_ eq result).foreach(_.unpersist(blocking = false))
     releaseHandles.foreach(release)
     if (carried != null) release(carried)
     release(unresolved)
