@@ -572,6 +572,36 @@ object OracleSql {
         |            ELSE CAST(0 AS BIGINT) END AS n_windows
         |FROM m ORDER BY media_id""".stripMargin,
 
+    // mirrors q_phash_neardup's closed-form construction: per-id group g,
+    // parity-coded base value (distance irrelevant to the oracle — only
+    // XOR of the planted masks survives within a group, and cross-group
+    // pairs are >= 16-6 bits apart, beyond t=3), planted 1/2/3-bit masks
+    // at the same positions, pairs within a group at bit_count(xor) <= 3
+    "q_phash_neardup" ->
+      """WITH ids AS (SELECT t.range AS id FROM range(0, 240) t),
+        |base AS (
+        |  SELECT 'img-' || lpad(CAST(id AS VARCHAR), 8, '0') AS image_id,
+        |         id % 60 AS g, CAST(0 AS BIGINT) AS mask
+        |  FROM ids),
+        |tp AS (
+        |  SELECT id, id % 60 AS g,
+        |         (id * 7) % 61 AS p1,
+        |         ((id * 7) % 61 + 1 + id % 31) % 61 AS p2,
+        |         (((id * 7) % 61 + 1 + id % 31) % 61 + 1 + (id * 3) % 29) % 61 AS p3
+        |  FROM ids WHERE id % 4 <> 0),
+        |twin AS (
+        |  SELECT 'prt-' || lpad(CAST(id AS VARCHAR), 8, '0') AS image_id, g,
+        |         (CAST(1 AS BIGINT) << CAST(p1 AS INT))
+        |         | (CASE WHEN id % 4 >= 2 THEN (CAST(1 AS BIGINT) << CAST(p2 AS INT)) ELSE 0 END)
+        |         | (CASE WHEN id % 4 >= 3 THEN (CAST(1 AS BIGINT) << CAST(p3 AS INT)) ELSE 0 END) AS mask
+        |  FROM tp),
+        |m AS (SELECT * FROM base UNION ALL SELECT * FROM twin)
+        |SELECT a.image_id AS id_a, b.image_id AS id_b,
+        |       CAST(bit_count(xor(a.mask, b.mask)) AS BIGINT) AS dist
+        |FROM m a JOIN m b ON a.g = b.g AND a.image_id < b.image_id
+        |WHERE bit_count(xor(a.mask, b.mask)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_phash_groups" ->
       """WITH imgs AS (
         |  SELECT t.range AS id,

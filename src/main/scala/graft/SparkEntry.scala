@@ -178,6 +178,39 @@ object SparkEntry {
         .orderBy("rep_id")
     }),
 
+    // phash near-dup pairs at Hamming radius 3 (banding + pigeonhole +
+    // exact verify). The REAL pixel phashes of distinct renders come as
+    // close as Hamming 2 (measured), so no closed-form oracle can know
+    // those pairs; this query instead runs the operator over a
+    // deterministic phash-SHAPED column both engines derive exactly — a
+    // parity-coded 7-bit value replicated into all 8 bytes (cross-group
+    // distance >= 16) with planted 1/2/3-bit perturbations at closed-form
+    // positions. The operator-on-real-pixels path is spec-covered against
+    // a brute-force all-pairs oracle (PipelineOpsSpec).
+    "q_phash_neardup" -> ((s, _) => {
+      val ids = s.range(240)
+        .withColumn("g", col("id") % 60)
+        .withColumn("v", expr("shiftleft(g, 1) | (bit_count(g) % 2)"))
+        .withColumn("phash", col("v") * lit(72340172838076673L)) // x 0x0101..01: v in every byte
+      val base = ids.select(
+        concat(lit("img-"), lpad(col("id").cast("string"), 8, "0")).as("image_id"),
+        col("phash"))
+      val twins = ids.where(col("id") % 4 =!= 0)
+        .withColumn("p1", (col("id") * 7) % 61)
+        .withColumn("p2", (col("p1") + 1 + col("id") % 31) % 61)
+        .withColumn("p3", (col("p2") + 1 + (col("id") * 3) % 29) % 61)
+        .withColumn("mask",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 AS INT))")
+            .bitwiseOR(when(col("id") % 4 >= 2,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(p2 AS INT))")).otherwise(0L))
+            .bitwiseOR(when(col("id") % 4 >= 3,
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(p3 AS INT))")).otherwise(0L)))
+        .select(concat(lit("prt-"), lpad(col("id").cast("string"), 8, "0")).as("image_id"),
+          col("phash").bitwiseXOR(col("mask")).as("phash"))
+      Dedup.phashNearDupPairs(base.unionByName(twins), t = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- training-pipeline: text analysis ------------------------------
     "q_text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),

@@ -248,4 +248,80 @@ object Dedup {
       .agg(count(lit(1)).as("n"), sort_array(collect_list("image_id")).as("ids"))
       .where(col("n") > 1)
       .select(col("phash"), col("n"), col("ids"))
+
+  /** Image near-duplicate pairs by perceptual-hash Hamming radius:
+    * all (id_a, id_b, dist) with popcount(phash_a XOR phash_b) <= t —
+    * the thing a perceptual hash is FOR (exact-equality grouping only
+    * finds bit-identical hashes). Input: (image_id, phash).
+    *
+    * Shape (the minhashLshPairs shape, pigeonhole instead of MinHash):
+    * the 64-bit phash splits into `bands` contiguous keys; any pair
+    * within Hamming distance t < bands leaves at least one band
+    * untouched, so banding is a LOSSLESS candidate filter. Candidates
+    * equi-join on (band, band_key); the exact popcount verify runs on
+    * candidates only. Exact duplicates (identical phash — web-scale
+    * image corpora carry huge byte-identical clusters) are collapsed to
+    * one representative per distinct hash BEFORE banding, so the
+    * band self-join sees one row per DISTINCT hash and cluster
+    * membership re-expands afterwards as output-producing joins —
+    * identical hashes band identically, so the output provably equals
+    * the uncollapsed formulation (within-cluster pairs have dist 0).
+    *
+    * `bandMax > 0` is the hot-band guard (dfMax's sibling): a
+    * (band, band_key) bucket with more than bandMax DISTINCT hashes
+    * generates no candidates from that band — a near-dup pair still
+    * meets through its other, rarer bands unless t bits all fall
+    * outside every rare band. Part of the operator contract when
+    * enabled; the driver query runs with it off.
+    */
+  def phashNearDupPairs(images: DataFrame, t: Int, bands: Int = 4,
+                        bandMax: Int = 0): DataFrame = {
+    require(t < bands, s"pigeonhole needs t < bands (got t=$t, bands=$bands)")
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val width = 64 / bands
+    import org.apache.spark.storage.StorageLevel
+
+    val reps = images.groupBy("phash").agg(min("image_id").as("rep_id"))
+    val members = images.select(col("image_id"), col("phash")).join(reps, "phash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repImgs = members.where(col("image_id") === col("rep_id"))
+      .select(col("rep_id"), col("phash"))
+
+    val banded = repImgs
+      .withColumn("band", explode(lit((0 until bands).toArray)))
+      .withColumn("band_key",
+        expr(s"shiftrightunsigned(phash, band * $width)") % (1L << width))
+    val candBanded =
+      if (bandMax <= 0) banded
+      else {
+        val rare = banded.groupBy("band", "band_key")
+          .agg(count(lit(1)).as("df")).where(col("df") <= bandMax)
+          .select("band", "band_key")
+        banded.join(rare, Seq("band", "band_key"))
+      }
+    val a = candBanded.select(col("rep_id").as("rep_a"),
+      col("phash").as("ph_a"), col("band"), col("band_key"))
+    val b = candBanded.select(col("rep_id").as("rep_b"),
+      col("phash").as("ph_b"), col("band"), col("band_key"))
+    val verified = a.join(b, Seq("band", "band_key"))
+      .where(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b", "ph_a", "ph_b").distinct()
+      .where(expr(s"bit_count(ph_a ^ ph_b) <= $t"))
+      .select(col("rep_a"), col("rep_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS BIGINT)").as("dist"))
+
+    // membership re-expansion: cross-cluster pairs inherit the rep pair's
+    // distance (identical hashes => identical XOR); within-cluster pairs
+    // are exact duplicates at distance 0
+    val cross = verified
+      .join(members.select(col("rep_id").as("rep_a"), col("image_id").as("da")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("image_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("dist"))
+    val within = members.as("p").join(members.as("q"),
+        col("p.rep_id") === col("q.rep_id") && col("p.image_id") < col("q.image_id"))
+      .select(col("p.image_id").as("id_a"), col("q.image_id").as("id_b"),
+        lit(0L).as("dist"))
+    Caching.materializeAndRelease(cross.unionByName(within), members)
+  }
 }

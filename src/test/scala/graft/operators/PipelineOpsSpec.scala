@@ -28,6 +28,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(groups === planted)
   }
 
+  test("phashNearDupPairs on REAL pixel phashes == brute-force all-pairs Hamming <= t") {
+    // the driver oracle (q_phash_neardup) runs on a synthetic phash-shaped
+    // column because the real renders come as close as Hamming 2; THIS is
+    // where the operator meets the real pixel hashes, against an all-pairs
+    // truth — including the accidental near-collisions between distinct
+    // renders and the exact-dup clusters the collapse stage handles
+    val imgs = Images.table(spark, 240).toDF.select("image_id", "phash").cache()
+    for (t <- Seq(0, 2, 3)) {
+      val got = Dedup.phashNearDupPairs(imgs, t).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val brute = imgs.as("a").crossJoin(imgs.as("b"))
+        .where(col("a.image_id") < col("b.image_id") &&
+          expr(s"bit_count(a.phash ^ b.phash) <= $t"))
+        .select(col("a.image_id"), col("b.image_id"),
+          expr("CAST(bit_count(a.phash ^ b.phash) AS BIGINT)"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === brute, s"t=$t")
+      if (t >= 2) assert(brute.exists(_._3 > 0),
+        s"t=$t truth must contain genuine near-dups (not just exact) for the test to bite")
+    }
+  }
+
+  test("phashNearDupPairs hot-band guard: an over-threshold band emits no candidates from it") {
+    // 40 hashes of shape (i+1)<<16: bands 0, 2, 3 are all-zero (df=42 with
+    // the planted pair, > bandMax=8 -> hot, no candidates) and band 1 keys
+    // are unique — so hot-group members whose ONLY shared bands are hot
+    // never pair, even those within Hamming t of each other: that
+    // suppression is exactly the guard's documented contract. The planted
+    // pair differs in 2 LOW bits and still meets through its rare bands
+    // (band 1 key 0, band 3 key 0x0123 — df=2 each).
+    val hot = (0 until 40).map(i => (f"h-$i%04d", (i.toLong + 1) << 16))
+    val pair = Seq(("p-a", 0x0123000000000000L), ("p-b", 0x0123000000000000L ^ 3L))
+    // p-a vs p-b: differ in low bits 0,1 -> distance 2
+    val df = spark.createDataFrame(hot ++ pair).toDF("image_id", "phash")
+    val out = Dedup.phashNearDupPairs(df, t = 3, bandMax = 8).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("p-a", "p-b")))
+  }
+
   test("minhash LSH finds exactly the all-pairs near-duplicates at tau=0.5") {
     val lsh = Dedup.minhashLshPairs(docs, 16, 4, 1, 2)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
