@@ -114,12 +114,18 @@ object TextOps {
 
   /** Positional fingerprint over the first 64 chars:
     * sum_k ascii(text[k]) * ((k*2654435761) mod 65536), mod P.
+    *
+    * ONE projection per row (array fold), not the explode(64) + shuffle
+    * groupBy it used to be — a 10^12-doc fingerprint pass has no business
+    * emitting 64 rows per document into an exchange when the sum is a
+    * bounded per-row fold (64 terms < 2^43 total, no overflow; identical
+    * integer result, so the SQL oracle is untouched).
     */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(sequence(lit(1), lit(64))).as("k"), col("text"))
-      .select(col("doc_id"),
-        (ascii(col("text").substr(col("k"), lit(1))).cast("long") *
-          ((col("k").cast("long") * 2654435761L) % 65536L)).as("term"))
-      .groupBy("doc_id")
-      .agg((sum("term") % P).as("fp"))
+    docs.select(col("doc_id"),
+      (aggregate(
+        transform(sequence(lit(1), lit(64)),
+          k => ascii(col("text").substr(k, lit(1))).cast("long") *
+            ((k.cast("long") * 2654435761L) % 65536L)),
+        lit(0L), (acc, t) => acc + t) % P).as("fp"))
 }

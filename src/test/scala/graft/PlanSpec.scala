@@ -66,6 +66,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"bucket build fell out of codegen:\n$plan")
   }
 
+  test("fingerprint is a per-row fold: no explode, no exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = planOf(graft.operators.TextOps.fingerprint(docs))
+    assert(!plan.contains("Exchange"), s"fingerprint must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"fingerprint must not explode:\n$plan")
+  }
+
   test("kNN join keeps the label side broadcast in every round") {
     // audited on the round-candidate builder itself: the composed
     // operator's executed plans hide behind its lineage-truncation
