@@ -33,6 +33,22 @@ object Caching {
   // workload results).
   private val owned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
+  // operator results whose storage lives in ADOPTED intermediates (e.g.
+  // knnJoin returns an unpersisted union over its persisted round parts —
+  // re-materializing the whole output into a second cache costs a full
+  // count + cache-write pass); release(result) drops the adoptees.
+  // Identity-keyed: the caller releases the exact frame it was handed.
+  private val adoptees = java.util.Collections.synchronizedMap(
+    new java.util.IdentityHashMap[DataFrame, Seq[DataFrame]]())
+
+  /** Transfer ownership of `parts`' caches to `result`: [[release]] of
+    * the result unpersists them.
+    */
+  def adopt(result: DataFrame, parts: Seq[DataFrame]): DataFrame = {
+    adoptees.put(result, parts)
+    result
+  }
+
   /** Tag a graft-made localCheckpoint frame's leaf RDDs as owned by the
     * engine, making them eligible for [[release]].
     */
@@ -54,6 +70,7 @@ object Caching {
     */
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
+    Option(adoptees.remove(df)).foreach(_.foreach(_.unpersist(blocking = false)))
     df.queryExecution.logical.collectLeaves().foreach {
       case l: LogicalRDD if owned.remove(l.rdd.id) => l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -166,11 +166,12 @@ object SpatialJoins {
     * point set in size (both sides co-partition by cell).
     *
     * Rounds are materialized eagerly (count per round): that enables
-    * early-exit when everything is resolved and lets each superseded
-    * round's cache be dropped immediately. The returned DataFrame is
-    * itself materialized+cached and all intermediates unpersisted — no
-    * cached state leaks beyond the (output-sized) result; callers drop
-    * the result with `unpersist()` (or `Caching.release`) when done.
+    * early-exit when everything is resolved. The returned DataFrame is
+    * the bare union over the operator's fully-materialized columnar
+    * round parts (no second output-sized cache); the parts' storage is
+    * ADOPTED by the result, so callers MUST drop it with
+    * `Caching.release(result)` (a bare `unpersist()` would leave the
+    * part caches behind) — no other cached state leaks.
     *
     * CARRY-FORWARD (`carryForward = true`, off by default): round r+1
     * reuses the previous round's candidates — cached UNPRUNED, restricted
@@ -269,7 +270,9 @@ object SpatialJoins {
     // resolves with whatever candidates exist.
     def resolvePass(candAll: DataFrame, rad2: Double, requireK: Boolean,
                     tag: String): Unit = {
-      val ranked = candAll.where(col("d2") <= rad2)
+      val pruned =
+        if (rad2 == Double.MaxValue) candAll else candAll.where(col("d2") <= rad2)
+      val ranked = pruned
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .withColumn("n_cand", count(lit(1)).over(wc))
@@ -283,9 +286,20 @@ object SpatialJoins {
       // count, the dominant parallelism-insensitive cost of this
       // operator). `dist` is computed here, after the rank filter — the
       // window exchange carries d2 only, not a redundant sqrt column.
+      // every output column is RE-ALIASED (fresh expression ids): all
+      // rounds' checkpoint LogicalRDDs carry the SAME attribute ids (a
+      // localCheckpoint keeps its plan's output attrs), so the result
+      // union's branches collide and the analyzer's DeduplicateRelations
+      // rewrites one branch's ids — after which that branch no longer
+      // matches its cache entry and silently RECOMPUTES through the
+      // checkpoint chain (measured: the round-3 "result assembly" cost,
+      // and a hard crash once the chains are released before the caller's
+      // read). Disjoint output ids keep dedup a no-op and every branch
+      // substitutes its cache.
       val part = (if (requireK) ranked.where(col("n_cand") >= k) else ranked)
         .withColumn("dist", sqrt(col("d2")))
-        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
+        .select(Seq("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
+          .map(c => col(c).as(c)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resolvedParts ::= part
       cacheHandles += part
@@ -375,26 +389,34 @@ object SpatialJoins {
         lvl = math.max(0, lvl - 2)
       }
     }
-    val tRes = System.nanoTime()
+    // The result is the bare union over the per-round parts: each part is
+    // already a fully-materialized columnar cache (its own round's
+    // okIds/count consumption scanned every partition), union cache
+    // substitution hits directly-persisted branches (the r3 measured
+    // property), and re-materializing the whole output into a SECOND
+    // output-sized cache cost a full count + cache-write pass (measured
+    // 2.3-7.7 s at 3.2M points — a largely parallelism-insensitive copy,
+    // exactly the kind of fixed cost the scaling target punishes). The
+    // parts' caches transfer to the result (Caching.adopt), so
+    // `Caching.release(result)` still drops every block the operator
+    // made. Releasing the checkpointed chains here is safe for the same
+    // reason the old post-count release was: the parts' MEMORY_AND_DISK
+    // blocks are complete, and only an executor-loss class event (which
+    // local checkpoints never survive anyway — the documented
+    // iterative-Spark trade) could force a recompute through them.
     val result = resolvedParts.reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
-    if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
-      System.err.println(f"[knn] result assembly=${(System.nanoTime() - tRes) / 1e9}%.2f s")
-    // identity filter, not a no-op: when a SINGLE round resolves every
-    // point, resolvedParts.reduce returns that part itself, so `result`
-    // IS the round part (persist() on an already-persisted Dataset
-    // returns the same object) — blindly unpersisting every handle then
-    // drops the result's own storage and the caller's first read
-    // recomputes through the released checkpoint blocks
-    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; reproduced by AbBench
-    // knn_rounds with rounds=Seq(2))
-    cacheHandles.filterNot(_ eq result).foreach(_.unpersist(blocking = false))
+    // materialization barrier per part BEFORE the chains are released: a
+    // part is usually fully built by its own round's okIds consumption,
+    // but not guaranteed partition-by-partition, and a hole would
+    // recompute through the released checkpoints
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Counting a cached part only
+    // fills missing partitions — no output-sized copy.
+    resolvedParts.foreach(_.count())
     releaseHandles.foreach(release)
     if (carried != null) release(carried)
     release(unresolved)
     lab.unpersist(blocking = false)
-    result
+    Caching.adopt(result, cacheHandles.toList.distinct)
   }
 
   /** One round's NEW candidate pairs: explode the (first round) full
@@ -454,8 +476,17 @@ object SpatialJoins {
     * reproduced by graft.Bench's knn workload). Eager finalization also
     * clears the dependency chain, which is the lineage cut we want.
     */
-  private def truncated(df: DataFrame): DataFrame =
-    Caching.own(df.localCheckpoint(eager = true))
+  private def truncated(df: DataFrame): DataFrame = {
+    // columns re-aliased BEFORE the checkpoint: a localCheckpoint's
+    // LogicalRDD keeps its plan's output attribute ids, and without fresh
+    // ids every round's checkpoint carries the SAME ids — the result
+    // union then holds several same-id relations, DeduplicateRelations
+    // rewrites all but one, and the rewritten branches stop matching
+    // their cache entries (silent recompute through the chains; crash
+    // once the chains are released)
+    val fresh = df.select(df.columns.toSeq.map(c => col(c).as(c)): _*)
+    Caching.own(fresh.localCheckpoint(eager = true))
+  }
 
   /** Release the blocks behind a [[truncated]] frame. */
   private def release(df: DataFrame): Unit = Caching.release(df)
