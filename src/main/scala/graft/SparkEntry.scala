@@ -218,8 +218,10 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
-    "q_fingerprint" -> ((s, dir) =>
-      TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) => {
+      g(s) // text_fingerprint is a registered graft expression
+      TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")
+    }),
 
     // ---- training-pipeline: similarity search --------------------------
     "q_embed_topk" -> ((s, dir) =>

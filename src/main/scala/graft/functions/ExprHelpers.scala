@@ -31,6 +31,25 @@ object ExprHelpers {
     * q.numElements) contribute 0, matching the relational formulation's
     * inner join on i.
     */
+  /** TextOps.fingerprint's kernel as one scalar: positional fingerprint
+    * over the first 64 CHARACTERS (code points, matching both engines'
+    * ascii(substr(text, k, 1)) semantics): sum_k cp_k * ((k*2654435761)
+    * mod 65536), mod 1e9+7. Characters past the string contribute 0.
+    */
+  def textFingerprint(t: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = t.toString
+    var sum = 0L
+    var i = 0
+    var k = 0
+    while (i < s.length && k < 64) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      k += 1
+      sum += cp.toLong * ((k.toLong * 2654435761L) % 65536L)
+    }
+    sum % 1000000007L
+  }
+
   def lshBucket(q: ArrayData, planes: Int, dim: Int): Long = {
     val n = math.min(dim, q.numElements())
     var bucket = 0L

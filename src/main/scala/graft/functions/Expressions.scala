@@ -174,6 +174,25 @@ case class CellParentExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `text_fingerprint(text) -> bigint` — TextOps.fingerprint's positional
+  * rolling fingerprint as a single codegen'd scalar (one projection per
+  * row; the explode(64)+groupBy formulation it replaces pushed 64 rows
+  * per document into an exchange).
+  */
+case class TextFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "text_fingerprint"
+
+  override protected def nullSafeEval(s: Any): Any =
+    ExprHelpers.textFingerprint(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.ExprHelpers.textFingerprint($s)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `cell_kring(cell, k) -> array<bigint>` — all cells within Chebyshev
   * distance k (kNN candidate neighbourhood), sorted.
   */

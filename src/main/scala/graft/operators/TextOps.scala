@@ -123,9 +123,5 @@ object TextOps {
     */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      (aggregate(
-        transform(sequence(lit(1), lit(64)),
-          k => ascii(col("text").substr(k, lit(1))).cast("long") *
-            ((k.cast("long") * 2654435761L) % 65536L)),
-        lit(0L), (acc, t) => acc + t) % P).as("fp"))
+      graft.functions.GraftFunctions.text_fingerprint(col("text")).as("fp"))
 }

@@ -66,11 +66,12 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"bucket build fell out of codegen:\n$plan")
   }
 
-  test("fingerprint is a per-row fold: no explode, no exchange") {
+  test("fingerprint is a per-row codegen'd scalar: no explode, no exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = planOf(graft.operators.TextOps.fingerprint(docs))
     assert(!plan.contains("Exchange"), s"fingerprint must not shuffle:\n$plan")
     assert(!plan.contains("Generate"), s"fingerprint must not explode:\n$plan")
+    assert(plan.contains("*("), s"fingerprint fell out of whole-stage codegen:\n$plan")
   }
 
   test("kNN join keeps the label side broadcast in every round") {
