@@ -208,6 +208,7 @@ object OracleSql {
 
     "q_knn_join" -> knnJoinOracle,
     "q_knn_join_part" -> knnJoinOracle,
+    "q_knn_adaptive" -> knnJoinOracle,
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

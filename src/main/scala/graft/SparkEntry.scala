@@ -96,6 +96,15 @@ object SparkEntry {
     // shares the q_knn_join oracle
     "q_knn_join_part" -> ((s, dir) => knnQuery(s, dir, broadcastLabels = false)),
 
+    // adaptive-extension kNN: a level-13 grid is so fine that the caller
+    // rounds Seq(1,2) resolve essentially nothing and the level-descent
+    // extension rounds (the cross-join fallback's replacement) produce
+    // the whole answer — truth is level-independent, so this shares the
+    // brute-force oracle; run in cell-partitioned mode to drive the
+    // no-cartesian path end-to-end under the driver's oracle
+    "q_knn_adaptive" -> ((s, dir) =>
+      knnQuery(s, dir, broadcastLabels = false, level = 13)),
+
     // ---- aggregation (E12): TPC-H Q1 shape, decimal-exact sums ---------
     // Fixed-point BIGINT output (milli-units): Spark renders sum(decimal)
     // as decimal(28,3), DuckDB as decimal(38,3) — same values, different
@@ -428,7 +437,7 @@ object SparkEntry {
     * point/label tables, two execution strategies, one oracle.
     */
   private def knnQuery(s: SparkSession, dir: String,
-                       broadcastLabels: Boolean): DataFrame = {
+                       broadcastLabels: Boolean, level: Int = 7): DataFrame = {
     g(s)
     val points = t(s, dir, "customer")
       .select(col("c_custkey").as("point_id"),
@@ -438,7 +447,7 @@ object SparkEntry {
       .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
         ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
         ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
-    SpatialJoins.knnJoin(points, labels, k = 3, level = 7,
+    SpatialJoins.knnJoin(points, labels, k = 3, level = level,
       broadcastLabels = broadcastLabels)
       .select(col("point_id"), col("poly_id"), col("rank"))
       .orderBy("point_id", "rank")
