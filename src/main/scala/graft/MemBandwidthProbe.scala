@@ -40,7 +40,10 @@ object MemBandwidthProbe {
     val mbPerThread = args.headOption.map(_.toInt).getOrElse(256)
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
     val longsPerThread = mbPerThread * 1024 * 1024 / 8
-    val threadCounts = Seq(1, 8, 32)
+    // arg 3: comma-separated thread counts; the N/4N pair under test is
+    // always (counts(1), counts(2))
+    val threadCounts = args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(1, 8, 32))
     val maxThreads = threadCounts.max
 
     // thread-private working sets, allocated once (NUMA/first-touch by
@@ -95,8 +98,11 @@ object MemBandwidthProbe {
         val rate = n.toLong * bytesPerThread / secs / 1e9
         n -> rate
       }.toMap
-      val eff = rates(32) / rates(8) / 4.0
-      println(f"[membw] $name%-8s 1T ${rates(1)}%6.1f  8T ${rates(8)}%6.1f  32T ${rates(32)}%6.1f $unit%-5s  8->32 speedup ${rates(32) / rates(8)}%4.2f  efficiency $eff%4.2f")
+      val (lo, hi) = (threadCounts(1), threadCounts(2))
+      val ratio = hi.toDouble / lo
+      val eff = rates(hi) / rates(lo) / ratio
+      val cols = threadCounts.map(n => f"${n}T ${rates(n)}%6.1f").mkString("  ")
+      println(f"[membw] $name%-8s $cols $unit%-5s  $lo->$hi speedup ${rates(hi) / rates(lo)}%4.2f  efficiency $eff%4.2f")
     }
   }
 }
