@@ -29,10 +29,11 @@ run_side() {
     graft.ScalingBench "$1"
 }
 
+SIDES=${SIDES:-"8 32"}
 for i in $(seq 1 "$ROUNDS"); do
-  echo "[run_scaling] round $i/$ROUNDS side=8  $(date -u +%H:%M:%S)"
-  run_side 8
-  echo "[run_scaling] round $i/$ROUNDS side=32 $(date -u +%H:%M:%S)"
-  run_side 32
+  for s in $SIDES; do
+    echo "[run_scaling] round $i/$ROUNDS side=$s $(date -u +%H:%M:%S)"
+    run_side "$s"
+  done
 done
 echo "[run_scaling] done $(date -u +%H:%M:%S)"
