@@ -154,11 +154,18 @@ object Bench {
 
   /** Render the one-line JSON evidence. Failed-in-every-pass workloads
     * report -1 in `queries` plus an `errors` object — the line must carry
-    * partial evidence no matter what died (round 3's lesson).
+    * partial evidence no matter what died (round 3's lesson). `perPass`
+    * carries every pass's RAW seconds per workload: the round-4 driver
+    * artifact reported a minhash min of 37.5 s that re-measured at 5-7 s
+    * on a quiet box, and nothing in the line revealed it — min over
+    * back-to-back passes in one JVM cannot reject an interference window
+    * longer than the run, but a tight-vs-spread pass distribution in the
+    * artifact lets the reader (driver, judge) see it directly.
     */
   private[graft] def renderJson(results: Map[String, Double],
                                 errors: Map[String, String],
-                                sfDir: String): String = {
+                                sfDir: String,
+                                perPass: Map[String, Seq[Double]] = Map.empty): String = {
     def esc(s: String): String =
       s.flatMap { c => if (c == '"' || c == '\\') s"\\$c"
                        else if (c < ' ') " " else c.toString }
@@ -172,26 +179,31 @@ object Bench {
       else errors.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
         .mkString(""","errors":{""", ",", "}")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}"""
+    val passPart =
+      if (perPass.isEmpty) ""
+      else perPass.toSeq.sortBy(_._1)
+        .map { case (k, ts) =>
+          "\"" + k + "\":[" + ts.map(v => f"$v%.3f").mkString(",") + "]" }
+        .mkString(""","passes":{""", ",", "}")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errPart$passPart,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+    val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt, "graft-bench")
     // per-workload + per-pass isolation: a workload that fails one pass
     // can still report the min over its other passes; only
     // failed-in-every-pass workloads surface as errors
     val passes = (1 to nPasses).map(_ => BenchWorkloads.runAllSafe(spark, sfDir))
     val names = passes.flatMap(p => p._1.keys ++ p._2.keys).distinct
-    val results = names.flatMap { k =>
-      val ts = passes.flatMap(_._1.get(k))
-      if (ts.isEmpty) None else Some(k -> ts.min)
-    }.toMap
+    val perPass = names.map { k => k -> passes.flatMap(_._1.get(k)) }
+      .filter(_._2.nonEmpty).toMap
+    val results = perPass.map { case (k, ts) => k -> ts.min }
     val errors = names.filterNot(results.contains)
       .flatMap(k => passes.flatMap(_._2.get(k)).lastOption.map(k -> _)).toMap
-    val line = renderJson(results, errors, sfDir)
+    val line = renderJson(results, errors, sfDir, perPass)
     // stdout line is the driver contract (clean thanks to the sbt
     // StdoutOutput strategy); the file is the belt-and-braces artifact
     println(line)

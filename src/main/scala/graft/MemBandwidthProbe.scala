@@ -41,9 +41,11 @@ object MemBandwidthProbe {
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
     val longsPerThread = mbPerThread * 1024 * 1024 / 8
     // arg 3: comma-separated thread counts; the N/4N pair under test is
-    // always (counts(1), counts(2))
+    // the LAST TWO counts (so "8,32" works without a leading 1)
     val threadCounts = args.lift(2).map(_.split(",").toSeq.map(_.trim.toInt))
       .getOrElse(Seq(1, 8, 32))
+    require(threadCounts.size >= 2,
+      s"need at least two thread counts for an efficiency pair (got $threadCounts)")
     val maxThreads = threadCounts.max
 
     // thread-private working sets, allocated once (NUMA/first-touch by
@@ -98,7 +100,10 @@ object MemBandwidthProbe {
         val rate = n.toLong * bytesPerThread / secs / 1e9
         n -> rate
       }.toMap
-      val (lo, hi) = (threadCounts(1), threadCounts(2))
+      // efficiency is reported over the LAST TWO counts, so a
+      // parameterized two-entry run ("8,32") works as well as the
+      // default three-entry one
+      val Seq(lo, hi) = threadCounts.takeRight(2)
       val ratio = hi.toDouble / lo
       val eff = rates(hi) / rates(lo) / ratio
       val cols = threadCounts.map(n => f"${n}T ${rates(n)}%6.1f").mkString("  ")

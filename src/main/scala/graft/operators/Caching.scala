@@ -37,15 +37,29 @@ object Caching {
   // knnJoin returns an unpersisted union over its persisted round parts —
   // re-materializing the whole output into a second cache costs a full
   // count + cache-write pass); release(result) drops the adoptees.
-  // Identity-keyed: the caller releases the exact frame it was handed.
+  // Identity-keyed for the exact-frame fast path, PLUS a plan signature
+  // (the result's LogicalRDD leaf rdd ids) so releasing a DERIVED frame
+  // (select/orderBy over the result — what SparkEntry's knn queries
+  // build) still finds the adoption: a narrow transform keeps every leaf
+  // of its parent's plan, so the signature survives derivation. Without
+  // this, releasing a derived frame was a silent no-op that stranded the
+  // part caches and leaked the map entry (strong DataFrame refs) for the
+  // session lifetime.
+  private final case class Adoption(sig: Set[Int], parts: Seq[DataFrame])
   private val adoptees = java.util.Collections.synchronizedMap(
-    new java.util.IdentityHashMap[DataFrame, Seq[DataFrame]]())
+    new java.util.IdentityHashMap[DataFrame, Adoption]())
+
+  private def leafRddIds(df: DataFrame): Set[Int] =
+    df.queryExecution.logical.collectLeaves().collect {
+      case l: LogicalRDD => l.rdd.id
+    }.toSet
 
   /** Transfer ownership of `parts`' caches to `result`: [[release]] of
-    * the result unpersists them.
+    * the result — or of any frame derived from it by narrow transforms —
+    * unpersists them.
     */
   def adopt(result: DataFrame, parts: Seq[DataFrame]): DataFrame = {
-    adoptees.put(result, parts)
+    adoptees.put(result, Adoption(leafRddIds(result), parts))
     result
   }
 
@@ -70,7 +84,22 @@ object Caching {
     */
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    Option(adoptees.remove(df)).foreach(_.foreach(_.unpersist(blocking = false)))
+    // exact-identity adoption hit, then plan-resolved: any adoption whose
+    // (non-empty) leaf signature is contained in this frame's leaves is a
+    // result this frame derives from — release its parts too
+    Option(adoptees.remove(df)).foreach(_.parts.foreach(_.unpersist(blocking = false)))
+    val ids = leafRddIds(df)
+    if (ids.nonEmpty) adoptees.synchronized {
+      val it = adoptees.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val a = e.getValue
+        if (a.sig.nonEmpty && a.sig.subsetOf(ids)) {
+          a.parts.foreach(_.unpersist(blocking = false))
+          it.remove()
+        }
+      }
+    }
     df.queryExecution.logical.collectLeaves().foreach {
       case l: LogicalRDD if owned.remove(l.rdd.id) => l.rdd.unpersist(blocking = false)
       case _ => ()

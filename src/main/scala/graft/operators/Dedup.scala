@@ -287,10 +287,16 @@ object Dedup {
     val repImgs = members.where(col("image_id") === col("rep_id"))
       .select(col("rep_id"), col("phash"))
 
+    // band_key MUST be extracted by masking, not `%`: Spark's `%` keeps the
+    // dividend's sign, so a negative phash (bit 63 set — ~half of real
+    // image hashes) would get band_key = low-bits − 2^width while a
+    // non-negative hash with the same low bits gets low-bits, silently
+    // breaking the pigeonhole guarantee on band 0.
+    val bandMask = if (width == 64) -1L else (1L << width) - 1
     val banded = repImgs
       .withColumn("band", explode(lit((0 until bands).toArray)))
       .withColumn("band_key",
-        expr(s"shiftrightunsigned(phash, band * $width)") % (1L << width))
+        expr(s"shiftrightunsigned(phash, band * $width)").bitwiseAND(lit(bandMask)))
     val candBanded =
       if (bandMax <= 0) banded
       else {

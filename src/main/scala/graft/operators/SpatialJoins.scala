@@ -59,9 +59,18 @@ object SpatialJoins {
         // have real stats but whose estimate multiplied its way to a
         // huge number is KNOWN-huge — no broadcast.
         val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
-        val unknown = st.sizeInBytes == sentinel ||
-          polygons.queryExecution.optimizedPlan.collectLeaves()
-            .exists(_.stats.sizeInBytes == sentinel)
+        // A plan MIXING a stats-less leaf with a known-huge scan (join /
+        // union over both) must NOT read as "unknown => broadcast": that
+        // would flip the safe failure mode (skip broadcast, slower) into
+        // a multi-GB broadcast build and a driver OOM. "Unknown" only
+        // when every known leaf is already individually under the
+        // broadcast cap — then the stats-less part is the only wildcard
+        // and the dimension-table assumption stands.
+        val leaves = polygons.queryExecution.optimizedPlan.collectLeaves()
+        val (statless, known) =
+          leaves.partition(_.stats.sizeInBytes == sentinel)
+        val unknown = (st.sizeInBytes == sentinel || statless.nonEmpty) &&
+          known.forall(_.stats.sizeInBytes <= BigInt(thr) * 16)
         if (unknown) true
         else {
           // size what is actually broadcast: the slim (cell_id, poly_id)
@@ -212,7 +221,8 @@ object SpatialJoins {
   def knnJoin(points: DataFrame, labels: DataFrame, k: Int, level: Int,
               rounds: Seq[Int] = Seq(1, 2, 4, 8),
               broadcastLabels: Boolean = true,
-              carryForward: Boolean = false): DataFrame = {
+              carryForward: Boolean = false,
+              slimWindow: Boolean = true): DataFrame = {
     val cellW = CellIndex.SpanX / CellIndex.gridSize(level).toDouble
     val cellH = CellIndex.SpanY / CellIndex.gridSize(level).toDouble
     val minDim = math.min(cellW, cellH)
@@ -235,10 +245,22 @@ object SpatialJoins {
     // thrash the GC at millions of groups).
     val w = Window.partitionBy("point_id").orderBy(col("d2"), col("poly_id"))
 
+    // The candidate frame drops x,y right after d2 is computed
+    // (slimWindow, the default): the ranking exchange and window sort
+    // then carry only (point_id, poly_id, d2) — 24 B of payload instead
+    // of 40 B. x,y are re-joined onto the OUTPUT-sized result at the end
+    // (candidates outnumber outputs ~10x at bench density, so shrinking
+    // the sorted bytes beats carrying the columns). This was the
+    // operator's measured scaling gap: ~25x more intermediate bytes per
+    // output row than pip_join, with x,y dead weight through the sort.
+    // slimWindow=false keeps the old carry-everything shape for A/B.
+    val candCols =
+      if (slimWindow) Seq("point_id", "poly_id", "d2")
+      else Seq("point_id", "x", "y", "poly_id", "d2")
     def withD2(cand: DataFrame): DataFrame = cand
       .withColumn("d2", (col("x") - col("lx")) * (col("x") - col("lx")) +
         (col("y") - col("ly")) * (col("y") - col("ly")))
-      .select("point_id", "x", "y", "poly_id", "d2")
+      .select(candCols.map(col): _*)
 
     var unresolved = truncated(points
       .select(col("point_id"), col("x"), col("y"))
@@ -298,7 +320,7 @@ object SpatialJoins {
       // substitutes its cache.
       val part = (if (requireK) ranked.where(col("n_cand") >= k) else ranked)
         .withColumn("dist", sqrt(col("d2")))
-        .select(Seq("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
+        .select((candCols ++ Seq("dist", "rank"))
           .map(c => col(c).as(c)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       resolvedParts ::= part
@@ -376,7 +398,11 @@ object SpatialJoins {
       // first coarsening whose guarantee radius EXCEEDS the last ring's
       // (2^d > rounds.last): re-searching a smaller disk would waste a
       // round
-      val dLvl = 32 - Integer.numberOfLeadingZeros(math.max(1, rounds.last))
+      // rounds = Seq.empty is a legal schedule (skip straight to the
+      // adaptive extension — the old cross-join fallback accepted it too);
+      // treat it as "last ring radius 1"
+      val dLvl = 32 - Integer.numberOfLeadingZeros(
+        math.max(1, rounds.lastOption.getOrElse(1)))
       var lvl = math.max(0, level - dLvl)
       var complete = false
       while (nLeft > 0 && !complete) {
@@ -389,7 +415,8 @@ object SpatialJoins {
         lvl = math.max(0, lvl - 2)
       }
     }
-    // The result is the bare union over the per-round parts: each part is
+    // The result is the union over the per-round parts (plus, in slim
+    // mode, the x,y re-join below): each part is
     // already a fully-materialized columnar cache (its own round's
     // okIds/count consumption scanned every partition), union cache
     // substitution hits directly-persisted branches (the r3 measured
@@ -404,7 +431,17 @@ object SpatialJoins {
     // blocks are complete, and only an executor-loss class event (which
     // local checkpoints never survive anyway — the documented
     // iterative-Spark trade) could force a recompute through them.
-    val result = resolvedParts.reduce(_ unionByName _)
+    // x,y re-joined onto the output-sized union (see withD2): the join
+    // keys point_id against the CALLER's points frame, so the extra
+    // exchange moves k*N output rows + N slim point rows — strictly less
+    // than the candidate-sized x,y payload it replaces in the window sort.
+    val slimUnion = resolvedParts.reduce(_ unionByName _)
+    val result =
+      if (!slimWindow) slimUnion // fat mode: x,y already in the parts
+      else slimUnion
+        .join(points.select(col("point_id").as("xy_id"), col("x"), col("y")),
+          col("point_id") === col("xy_id"))
+        .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
     // materialization barrier per part BEFORE the chains are released: a
     // part is usually fully built by its own round's okIds consumption,
     // but not guaranteed partition-by-partition, and a hole would

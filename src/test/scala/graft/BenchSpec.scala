@@ -49,4 +49,18 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.renderJson(Map("a" -> 1.5, "b" -> 0.25), Map.empty, "/sf")
     assert(line == """{"metric":"total","value":1.750,"unit":"sec","queries":{"a":1.500,"b":0.250},"sf":"/sf"}""")
   }
+
+  test("renderJson carries per-pass raw times (interference evidence)") {
+    // the round-4 driver artifact's one failure mode: a 37.5 s minhash
+    // sample that re-measured at 5-7 s, with nothing in the line showing
+    // the spread. The `passes` object makes tight-vs-spread visible.
+    val line = Bench.renderJson(
+      Map("a" -> 1.5, "b" -> 0.25), Map.empty, "/sf",
+      perPass = Map("a" -> Seq(37.5, 1.5, 1.6), "b" -> Seq(0.25, 0.3, 0.3)))
+    assert(!line.contains("\n"), "evidence must stay one line")
+    assert(line.contains(""""passes":{"a":[37.500,1.500,1.600],"b":[0.250,0.300,0.300]}"""),
+      s"per-pass raw times missing: $line")
+    // the headline min is still the reported per-query value
+    assert(line.contains(""""queries":{"a":1.500,"b":0.250}"""), line)
+  }
 }

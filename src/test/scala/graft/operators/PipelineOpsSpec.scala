@@ -50,6 +50,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phashNearDupPairs: negative phashes (bit 63 set) keep the band-0 pigeonhole lossless") {
+    // a/b differ at bits 16, 32, 63 (distance 3 = t): their ONLY
+    // untouched band is band 0, and bit 63 flips the sign. Real image
+    // phashes set bit 63 ~half the time; a remainder-based band key
+    // (hash % 2^16, Spark keeps the dividend's sign) gives the negative
+    // side band_key = low16 - 65536 vs low16 for the positive side, so
+    // the pair's one matching band mismatches and it is silently
+    // dropped — the bug this spec pins. Masking keys both sides 0xABCD.
+    val a = (1L << 63) | (1L << 20) | 0xABCDL // negative
+    val b = a ^ ((1L << 16) | (1L << 32) | (1L << 63)) // positive, dist 3
+    val c = -1L // negative, far from both (dist >> 3)
+    val df = Seq(("i-a", a), ("i-b", b), ("i-c", c)).toDF("image_id", "phash")
+    val got = Dedup.phashNearDupPairs(df, t = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("i-a", "i-b", 3L)))
+  }
+
   test("phashNearDupPairs hot-band guard: an over-threshold band emits no candidates from it") {
     // 40 hashes of shape (i+1)<<16: bands 0, 2, 3 are all-zero (df=42 with
     // the planted pair, > bandMax=8 -> hot, no candidates) and band 1 keys
