@@ -48,13 +48,14 @@ object AbBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pts.count()
     for (pass <- 1 to Option(System.getenv("AB_PASSES")).map(_.toInt).getOrElse(2);
-         slim <- Seq(true, false)) {
+         (tag, slim, xy) <- Seq(("fat", false, true), ("slim", true, true),
+           ("noxy", true, false))) {
       val t0 = System.nanoTime()
       val out = SpatialJoins.knnJoin(pts, labels, k = 5, level = 7,
-        rounds = Seq(1, 2), slimWindow = slim)
+        rounds = Seq(1, 2), slimWindow = slim, outputXY = xy)
       out.write.format("noop").mode("overwrite").save()
       graft.operators.Caching.release(out)
-      println(f"[ab knn_slim] pass=$pass slim=$slim cores=$cores pts=$nPts " +
+      println(f"[ab knn_slim] pass=$pass variant=$tag cores=$cores pts=$nPts " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()

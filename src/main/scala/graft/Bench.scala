@@ -192,11 +192,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    // SPARK_GRAFT_ONLY=pipeline,knn_join isolates workloads for targeted
+    // A/Bs (e.g. the pipeline-variance investigation) without a separate
+    // harness; unset = full suite (the driver contract).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt, "graft-bench")
     // per-workload + per-pass isolation: a workload that fails one pass
     // can still report the min over its other passes; only
     // failed-in-every-pass workloads surface as errors
-    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAllSafe(spark, sfDir))
+    val passes = (1 to nPasses).map(_ => BenchWorkloads.runAllSafe(spark, sfDir, only = only))
     val names = passes.flatMap(p => p._1.keys ++ p._2.keys).distinct
     val perPass = names.map { k => k -> passes.flatMap(_._1.get(k)) }
       .filter(_._2.nonEmpty).toMap

@@ -480,6 +480,45 @@ object OracleSql {
     "q_events_window" -> eventsWindowOracle,
     "q_stream_window" -> eventsWindowOracle,
 
+    // Watermark truth (q_stream_late): batch B's base rows are all late
+    // beyond the batch-A watermark (dropped), and batch B's sentinel
+    // window never closes in append mode — so the emitted stream equals a
+    // plain batch aggregate over exactly batch A (on-time 2/3 + sentinel
+    // at max+20min). Same bucket/sum shapes as eventsWindowOracle.
+    "q_stream_late" ->
+      """WITH base AS (
+        |  SELECT ts, event_type, value FROM events WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT (SELECT max(ts) FROM events) + INTERVAL 20 MINUTE AS ts,
+        |         'sentinel' AS event_type, CAST(0.0 AS DOUBLE) AS value
+        |)
+        |SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket,
+        |       event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_value_e4
+        |FROM base
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+
+    // Cross-modal caption join (q_caption_join): the media table is
+    // closed-form (media_id = med-%08d, caption = 'media caption i',
+    // every 7th caption replaced by document (3i mod |documents|) text),
+    // so DuckDB reconstructs it from range() and replays the same
+    // caption = text left join.
+    "q_caption_join" ->
+      """WITH media AS (
+        |  SELECT i AS mid,
+        |         printf('med-%08d', i) AS media_id,
+        |         CASE WHEN i % 7 = 0
+        |              THEN (SELECT d.text FROM documents d
+        |                    WHERE d.doc_id = (i * 3) % (SELECT count(*) FROM documents))
+        |              ELSE 'media caption ' || CAST(i AS VARCHAR) END AS caption
+        |  FROM range(0, 300) t(i)
+        |)
+        |SELECT m.media_id, coalesce(d.doc_id, -1) AS matched_doc
+        |FROM media m LEFT JOIN documents d ON m.caption = d.text
+        |ORDER BY media_id, matched_doc""".stripMargin,
+
     "q_geojson" -> {
       val sq = Seq( // gj-0: square with one hole
         (0, 0, "0.0", "0.0"), (0, 1, "4.0", "0.0"), (0, 2, "4.0", "4.0"),

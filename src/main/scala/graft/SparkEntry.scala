@@ -406,6 +406,86 @@ object SparkEntry {
         .select(unix_timestamp(col("win.start")).as("bucket"), col("event_type"),
           col("n"), col("sum_value_e4"))
         .orderBy("bucket", "event_type")
+    }),
+
+    // ---- E17 watermark semantics: late data dropped, append-mode flush ---
+    // Two AvailableNow runs over a shared CHECKPOINT (the watermark
+    // persists in the commit log — the production resume shape; a single
+    // run can legally batch every available file together, which is why
+    // this replay uses two runs, not maxFilesPerTrigger). Run 1: the
+    // on-time 2/3 of events plus a sentinel 20 min past the table max —
+    // it leaves the watermark 10 min past max, so in run 2 EVERY
+    // remaining base row (unchanged timestamps) is late and dropped.
+    // Run 2's own sentinel (max+120 min) advances the watermark so the
+    // final flush emits the last open run-1 window (sentinel 1's) while
+    // run 2's sentinel window stays open forever (append mode never
+    // emits it). Closed-form truth: a plain batch aggregate over exactly
+    // the run-1 input.
+    "q_stream_late" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events")
+      def sentinel(minutes: Int) = ev.agg(max(col("ts")).as("mts")).select(
+        lit(-1L).as("event_id"),
+        (col("mts") + expr(s"INTERVAL $minutes MINUTES")).as("ts"),
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val batchA = ev.where(col("event_id") % 3 =!= 0).unionByName(sentinel(20))
+      val batchB = ev.where(col("event_id") % 3 === 0).unionByName(sentinel(120))
+      val streamDir = java.nio.file.Paths.get(tempDir("graft_stream_late_src_"))
+      val outDir = tempDir("graft_stream_late_out_")
+      val ckptDir = tempDir("graft_stream_late_ckpt_")
+      def addFile(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Paths.get(tempDir(s"graft_late_tmp_${name}_"))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.getFileName.toString
+          .matches("part-.*\\.parquet")).findFirst().get()
+        java.nio.file.Files.move(part, streamDir.resolve(s"$name.parquet"))
+      }
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(ev.schema).parquet(streamDir.toString)
+        val q = stream
+          .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> event time
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("value").cast("decimal(18,4)")) * 10000).cast("long").as("sum_value_e4"))
+          .select(unix_timestamp(col("win.start")).as("bucket"), col("event_type"),
+            col("n"), col("sum_value_e4"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckptDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      addFile(batchA, "a"); runOnce()
+      addFile(batchB, "b"); runOnce()
+      s.read.parquet(outDir).orderBy("bucket", "event_type")
+    }),
+
+    // ---- cross-modal caption dedup (captionJoin driver coverage) ---------
+    // Every 7th media row's caption is REPLACED by the text of document
+    // (3*id mod |documents|) — a closed-form overlap both engines can
+    // derive — then captionJoin left-joins captions against document
+    // texts. Planted rows match their document (plus any duplicate-text
+    // docs, which the oracle reproduces by the same join); synthetic
+    // captions match nothing and surface as matched_doc = -1.
+    "q_caption_join" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count() // bounded metadata: one scalar for the mod
+      val media = graft.sources.Multimodal.table(s, 300).toDF
+        .withColumn("mid", expr("CAST(substring(media_id, 5) AS BIGINT)"))
+      val planted = media
+        .withColumn("want_doc",
+          when(col("mid") % 7 === 0, (col("mid") * 3) % nDocs))
+        .join(docs.select(col("doc_id").as("want_doc"),
+          col("text").as("dtext")), Seq("want_doc"), "left")
+        .select(col("media_id"), col("kind"), col("bytes"),
+          coalesce(col("dtext"), col("caption")).as("caption"), col("meta"))
+        .as[graft.sources.Multimodal.MediaRow]
+      graft.sources.Multimodal.captionJoin(planted, docs)
+        .select(col("media_id"),
+          coalesce(col("doc_id"), lit(-1L)).as("matched_doc"))
+        .orderBy("media_id", "matched_doc")
     }))
 
   /** Deterministic rectangle "polygons" derived from `part` — the

@@ -127,15 +127,16 @@ object Dedup {
     * the verify-side candidate count stays linear.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
-                      num: Int, den: Int): DataFrame =
-    minhashLshPairsImpl(docs, numHashes, rowsPerBand, num, den)._1
+                      num: Int, den: Int,
+                      expandWithin: Boolean = true): DataFrame =
+    minhashLshPairsImpl(docs, numHashes, rowsPerBand, num, den, expandWithin)._1
 
   /** Implementation returning (result, rep-level candidate pairs) so tests
     * can assert the candidate volume; the second frame is lazy.
     */
   private[operators] def minhashLshPairsImpl(
       docs: DataFrame, numHashes: Int, rowsPerBand: Int,
-      num: Int, den: Int): (DataFrame, DataFrame) = {
+      num: Int, den: Int, expandWithin: Boolean = true): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     // Stage 0 — exact-duplicate collapse: doc -> representative (min
     // doc_id per distinct text). groupBy (partial aggregation absorbs the
@@ -207,7 +208,26 @@ object Dedup {
       .where(col("n") * den >= col("n") * num)
       .select(col("doc_a"), col("doc_b"), col("n").as("inter"), col("n").as("uni"))
 
-    val out = cross.unionByName(within)
+    // expandWithin=false is the web-scale output shape: a 10^6-copy
+    // exact-duplicate cluster would expand to 10^12 all-pairs rows (the
+    // answer IS quadratic in that form), so instead emit the verified
+    // REP-level pairs plus one (rep, member) row per non-representative
+    // — linear, and any pair's verdict is recoverable (doc_a~doc_b iff
+    // their reps pair up or coincide). The all-pairs default stays for
+    // oracle parity.
+    val out =
+      if (expandWithin) cross.unionByName(within)
+      else {
+        val memberRows = members.where(col("doc_id") =!= col("rep_id"))
+          .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+          .where(col("n") * den >= col("n") * num) // no-shingle docs: no pairs
+          .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("n").as("inter"), col("n").as("uni"))
+        verified
+          .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"),
+            col("inter"), col("uni"))
+          .unionByName(memberRows)
+      }
     (Caching.materializeAndRelease(out, members, sh), cand)
   }
 
@@ -275,7 +295,8 @@ object Dedup {
     * enabled; the driver query runs with it off.
     */
   def phashNearDupPairs(images: DataFrame, t: Int, bands: Int = 4,
-                        bandMax: Int = 0): DataFrame = {
+                        bandMax: Int = 0,
+                        expandWithin: Boolean = true): DataFrame = {
     require(t < bands, s"pigeonhole needs t < bands (got t=$t, bands=$bands)")
     require(64 % bands == 0, s"bands must divide 64 (got $bands)")
     val width = 64 / bands
@@ -328,6 +349,17 @@ object Dedup {
         col("p.rep_id") === col("q.rep_id") && col("p.image_id") < col("q.image_id"))
       .select(col("p.image_id").as("id_a"), col("q.image_id").as("id_b"),
         lit(0L).as("dist"))
-    Caching.materializeAndRelease(cross.unionByName(within), members)
+    // expandWithin=false: web-scale (rep, member) shape — see the
+    // minhashLshPairs note; a mega exact-dup cluster emits |cluster|-1
+    // membership rows instead of |cluster|^2 pairs, and cross-cluster
+    // verdicts stay at rep granularity.
+    val out =
+      if (expandWithin) cross.unionByName(within)
+      else verified
+        .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"), col("dist"))
+        .unionByName(members.where(col("image_id") =!= col("rep_id"))
+          .select(col("rep_id").as("id_a"), col("image_id").as("id_b"),
+            lit(0L).as("dist")))
+    Caching.materializeAndRelease(out, members)
   }
 }

@@ -14,6 +14,53 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoins {
 
+  /** Sentinel `level`: let the operator pick the cell level itself from
+    * the data (see [[autoLevel]] / the kNN density rule). A wrong manual
+    * level is the engine's biggest 100x-scale foot-gun — a too-fine grid
+    * makes PIP covers explode 4x per level and leaves kNN round 1
+    * resolving nothing; a too-coarse one stops pruning.
+    */
+  val AutoLevel: Int = Int.MinValue
+
+  /** Cell level for a PIP join, from the polygon side's TYPICAL bbox: the
+    * level at which the MEDIAN sampled polygon's bbox spans ~`targetCells`
+    * cover cells (the per-polygon rule CellIndex.coverLevelFor applies to
+    * one polygon, aggregated here with an approximate median over a
+    * bounded sample — robust to one Norway in a sea of parcels; the skew
+    * machinery, AQE + salting, owns the outliers). One tiny sampling job
+    * (`limit` keeps it a partial scan) per auto-level join.
+    */
+  def autoLevel(polygons: DataFrame, targetCells: Int = 16,
+                sampleN: Int = 1024): Int = {
+    val fx = expr("array_max(transform(exterior, p -> p.x))") -
+      expr("array_min(transform(exterior, p -> p.x))")
+    val fy = expr("array_max(transform(exterior, p -> p.y))") -
+      expr("array_min(transform(exterior, p -> p.y))")
+    val row = polygons.select(col("exterior")).limit(sampleN)
+      .select(greatest(fx / CellIndex.SpanX, fy / CellIndex.SpanY).as("f"))
+      .agg(expr("percentile_approx(f, 0.5, 1000)")).head()
+    val frac = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (frac <= 0.0) 9 // empty/degenerate side: the historical default
+    else {
+      val perAxis = math.sqrt(targetCells.toDouble)
+      val lvlF = math.floor(math.log(perAxis / frac) / math.log(2.0)).toInt
+      math.max(0, math.min(CellIndex.MaxLevel, lvlF))
+    }
+  }
+
+  /** Cell level for a kNN join, from label density: ~one label per cell
+    * (grid of 4^level cells ≈ label count), so a kRing(1) disk carries ~9
+    * expected candidates and round 1's guarantee usually resolves typical
+    * k. Uses optimizer rowCount stats when present; otherwise one count
+    * of the label side (which knnJoin re-derives anyway).
+    */
+  def knnAutoLevel(labels: DataFrame): Int = {
+    val n = labels.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(labels.count())
+    val lvlF = math.round(math.log(math.max(1L, n).toDouble) / math.log(4.0)).toInt
+    math.max(1, math.min(CellIndex.MaxLevel, lvlF))
+  }
+
   /** Point-in-polygon join.
     *
     * points:   (..., x: double, y: double)
@@ -39,10 +86,11 @@ object SpatialJoins {
     * splits skewed cells), while synthesized/unknown-stats dimension
     * tables keep the broadcast.
     */
-  def pipJoin(points: DataFrame, polygons: DataFrame, level: Int,
+  def pipJoin(points: DataFrame, polygons: DataFrame, level: Int = AutoLevel,
               broadcastPolygons: Option[Boolean] = None,
               slimShuffle: Boolean = true): DataFrame = {
     val spark = points.sparkSession
+    val lvl = if (level == AutoLevel) autoLevel(polygons) else level
     val doBroadcast = broadcastPolygons.getOrElse {
       val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
       if (thr <= 0) false // user disabled broadcasting entirely — honor it
@@ -84,18 +132,18 @@ object SpatialJoins {
           // pinning 64 — a level-14 cover is ~256x a level-10 one and a
           // fixed estimate would under-size the broadcast badly.
           val cellsPerPoly =
-            if (level >= 10) BigInt(64) << (2 * math.min(level - 10, 16))
-            else (BigInt(64) >> (2 * (10 - level))) max BigInt(4)
+            if (lvl >= 10) BigInt(64) << (2 * math.min(lvl - 10, 16))
+            else (BigInt(64) >> (2 * (10 - lvl))) max BigInt(4)
           val coverBytes = st.rowCount.map(rc => rc * 16 * cellsPerPoly)
             .getOrElse(st.sizeInBytes * cellsPerPoly / 64)
           st.sizeInBytes + coverBytes <= BigInt(thr) * 16
         }
       }
     }
-    val pts = points.withColumn("cell_id", cell_of(col("x"), col("y"), lit(level)))
+    val pts = points.withColumn("cell_id", cell_of(col("x"), col("y"), lit(lvl)))
     val joined = if (doBroadcast) {
       val cellMap = polygons.select(col("poly_id"),
-        explode(polygon_cover(col("exterior"), col("holes"), lit(level))).as("cell_id"))
+        explode(polygon_cover(col("exterior"), col("holes"), lit(lvl))).as("cell_id"))
       pts.join(broadcast(cellMap), "cell_id")
         .join(broadcast(polygons), "poly_id")
     } else if (slimShuffle) {
@@ -115,14 +163,14 @@ object SpatialJoins {
       // the fat plan's best regime) slim 5.0 s vs fat 7.7 s — the slim
       // re-join's extra shuffle of (point, poly_id) pairs never loses.
       val cover = polygons.select(col("poly_id"),
-        explode(polygon_cover(col("exterior"), col("holes"), lit(level))).as("cell_id"))
+        explode(polygon_cover(col("exterior"), col("holes"), lit(lvl))).as("cell_id"))
       pts.join(cover, "cell_id")
         .join(polygons, "poly_id")
     } else {
       // measured-and-rejected default; kept for the small-geometry regime
       // and the A/B harness
       val cover = polygons
-        .withColumn("cell_id", explode(polygon_cover(col("exterior"), col("holes"), lit(level))))
+        .withColumn("cell_id", explode(polygon_cover(col("exterior"), col("holes"), lit(lvl))))
       pts.join(cover, "cell_id")
     }
     joined
@@ -217,14 +265,28 @@ object SpatialJoins {
     * and a released local checkpoint on that path is unrecoverable
     * (blocks are not rebuildable on executor loss — the standard
     * iterative-Spark trade, bounded to this operator's lifetime).
+    *
+    * OUTPUT: (point_id, poly_id, d2, dist, rank) — the caller's own
+    * point coordinates are NOT echoed back by default (`outputXY =
+    * false`): they already sit keyed by point_id on the caller's side,
+    * and measured at campaign density (6.4M points, 3-variant A/B, min
+    * over interleaved rounds) dropping them from the ranking
+    * exchange/window sort AND skipping the output-sized re-join is
+    * 11-21% faster end-to-end at both 4 and 16 cores (noxy 11.7/25.3 s
+    * vs fat 13.2/32.7 s; the re-join variant ~= fat — it pays back what
+    * the slim window saves). `outputXY = true` restores the old
+    * 7-column shape via a point_id re-join.
     */
-  def knnJoin(points: DataFrame, labels: DataFrame, k: Int, level: Int,
+  def knnJoin(points: DataFrame, labels: DataFrame, k: Int,
+              level: Int = AutoLevel,
               rounds: Seq[Int] = Seq(1, 2, 4, 8),
               broadcastLabels: Boolean = true,
               carryForward: Boolean = false,
-              slimWindow: Boolean = true): DataFrame = {
-    val cellW = CellIndex.SpanX / CellIndex.gridSize(level).toDouble
-    val cellH = CellIndex.SpanY / CellIndex.gridSize(level).toDouble
+              slimWindow: Boolean = true,
+              outputXY: Boolean = false): DataFrame = {
+    val lvl0 = if (level == AutoLevel) knnAutoLevel(labels) else level
+    val cellW = CellIndex.SpanX / CellIndex.gridSize(lvl0).toDouble
+    val cellH = CellIndex.SpanY / CellIndex.gridSize(lvl0).toDouble
     val minDim = math.min(cellW, cellH)
 
     // materialized once: every round (and the fallback) rebuilds its
@@ -233,7 +295,7 @@ object SpatialJoins {
     // serial-ish job — measured as part of the operator's
     // parallelism-insensitive cost
     val lab = labels
-      .withColumn("lcell", cell_of(col("lx"), col("ly"), lit(level)))
+      .withColumn("lcell", cell_of(col("lx"), col("ly"), lit(lvl0)))
       .select("poly_id", "lx", "ly", "lcell")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -264,7 +326,7 @@ object SpatialJoins {
 
     var unresolved = truncated(points
       .select(col("point_id"), col("x"), col("y"))
-      .withColumn("pcell", cell_of(col("x"), col("y"), lit(level))))
+      .withColumn("pcell", cell_of(col("x"), col("y"), lit(lvl0))))
     // round 1 always runs — its own count() establishes the real number;
     // an up-front count of the input would cost one full extra pass
     var nLeft = Long.MaxValue
@@ -403,7 +465,7 @@ object SpatialJoins {
       // treat it as "last ring radius 1"
       val dLvl = 32 - Integer.numberOfLeadingZeros(
         math.max(1, rounds.lastOption.getOrElse(1)))
-      var lvl = math.max(0, level - dLvl)
+      var lvl = math.max(0, lvl0 - dLvl)
       var complete = false
       while (nLeft > 0 && !complete) {
         complete = CellIndex.gridSize(lvl) <= 3 // 3x3 disk covers the grid
@@ -435,9 +497,13 @@ object SpatialJoins {
     // keys point_id against the CALLER's points frame, so the extra
     // exchange moves k*N output rows + N slim point rows — strictly less
     // than the candidate-sized x,y payload it replaces in the window sort.
+    // outputXY=false skips the re-join and returns the slim columns only —
+    // callers that don't need the input coordinates echoed back (they
+    // already hold them keyed by point_id) save the output-sized join.
     val slimUnion = resolvedParts.reduce(_ unionByName _)
     val result =
       if (!slimWindow) slimUnion // fat mode: x,y already in the parts
+      else if (!outputXY) slimUnion
       else slimUnion
         .join(points.select(col("point_id").as("xy_id"), col("x"), col("y")),
           col("point_id") === col("xy_id"))

@@ -29,11 +29,31 @@ import org.apache.spark.sql.types.LongType
   */
 object PipJoinRewrite extends Rule[LogicalPlan] {
 
-  /** Cover/prefilter cell level; coarse enough that any polygon's cover
-    * stays small, fine enough to prune (overridable per-query by building
-    * the staged join explicitly via SpatialJoins.pipJoin).
+  /** Fallback cover/prefilter cell level when the polygon side carries no
+    * row-count stats; coarse enough that any polygon's cover stays small,
+    * fine enough to prune (overridable per-query by building the staged
+    * join explicitly via SpatialJoins.pipJoin, whose AutoLevel samples
+    * actual bboxes — an optimizer rule must not launch jobs, so here the
+    * choice comes from plan statistics only).
     */
   val Level = 9
+
+  /** Level for one rewrite, from the polygon side's optimizer stats:
+    * scale the prefilter grid with the polygon COUNT (more polygons =>
+    * finer cells keep the expected polygons-per-cell bounded, so the
+    * equi-join prunes instead of degenerating back toward the product).
+    * log4(n)+4 puts 100 polygons at level ~7 and 1M at level 12 (clamped
+    * [6, 12] — past 12 cover explosion outweighs extra pruning for the
+    * unknown-bbox case this rescue rule serves); stats-less sides keep
+    * the historical constant.
+    */
+  private[graft] def levelFor(polySide: LogicalPlan): Int =
+    polySide.stats.rowCount match {
+      case Some(n) =>
+        val lvl = (math.log(math.max(1.0, n.toDouble)) / math.log(4.0)).round.toInt + 4
+        math.max(6, math.min(12, lvl))
+      case None => Level
+    }
 
   private def alreadyRewritten(p: LogicalPlan): Boolean = p.exists {
     case Generate(Explode(_: PolygonCoverExpr), _, _, _, _, _) => true
@@ -67,12 +87,13 @@ object PipJoinRewrite extends Rule[LogicalPlan] {
 
   private def rewrite(cond: Expression, pip: PipExpr, left: LogicalPlan,
                       right: LogicalPlan): LogicalPlan = {
+    val level = levelFor(right)
     val cellAttr = AttributeReference("__pip_cell", LongType, nullable = false)()
     val gen = Generate(
-      Explode(PolygonCoverExpr(pip.exterior, pip.holes, Literal(Level))),
+      Explode(PolygonCoverExpr(pip.exterior, pip.holes, Literal(level))),
       unrequiredChildIndex = Nil, outer = false, qualifier = None,
       generatorOutput = Seq(cellAttr), child = right)
-    val equi = EqualTo(CellOfExpr(pip.x, pip.y, Literal(Level)), cellAttr)
+    val equi = EqualTo(CellOfExpr(pip.x, pip.y, Literal(level)), cellAttr)
     val join = Join(left, gen, Inner, Some(equi), JoinHint.NONE)
     Project(left.output ++ right.output, Filter(cond, join))
   }

@@ -176,6 +176,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist(blocking = true)
   }
 
+  test("expandWithin=false: (rep, member) output is linear yet reconstructs the all-pairs answer") {
+    // same fixture as the linearity spec: one 300-copy exact-dup cluster
+    // + 20 distinct docs. All-pairs form emits C(300,2) ~ 45k rows; the
+    // compact form must stay linear (299 membership rows + rep pairs)
+    // and carry the same information.
+    val clusterTxt = "the quick brown fox jumps over the lazy dog tonight"
+    val cluster = (0L until 300L).map(i => (i, clusterTxt, "en"))
+    val others = (300L until 320L)
+      .map(i => (i, s"distinct document number $i with words w${i}a w${i}b w${i}c", "en"))
+    val d = (cluster ++ others).toDF("doc_id", "text", "lang")
+    val full = Dedup.minhashLshPairs(d, 16, 4, 1, 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compact = Dedup.minhashLshPairs(d, 16, 4, 1, 2, expandWithin = false)
+    val rows = compact.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val textOf = (cluster ++ others).map(p => p._1 -> p._2).toMap
+    val (memberRows, repPairs) = rows.partition { case (a, b) => textOf(a) == textOf(b) }
+    assert(memberRows.length === 299, "one membership row per non-representative")
+    assert(rows.length === 299 + repPairs.length, "no quadratic within-expansion")
+    // reconstruct: cluster-of(rep) x cluster-of(rep) for rep pairs, plus
+    // all within-cluster pairs — must equal the all-pairs output
+    val clusterOf = (cluster ++ others).groupBy(_._2).values
+      .map { ds => ds.map(_._1).min -> ds.map(_._1) }.toMap
+    val within = clusterOf.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)).toSet
+    val crossRec = repPairs.flatMap { case (ra, rb) =>
+      for (a <- clusterOf(ra); b <- clusterOf(rb))
+        yield (math.min(a, b), math.max(a, b))
+    }.toSet
+    assert((within ++ crossRec) === full)
+    compact.unpersist(blocking = true)
+  }
+
+  test("phash expandWithin=false: dist=0 rows ARE the membership edges") {
+    val imgs = Images.table(spark, 240).toDF.select("image_id", "phash").cache()
+    val full = Dedup.phashNearDupPairs(imgs, 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val compact = Dedup.phashNearDupPairs(imgs, 2, expandWithin = false)
+    val rows = compact.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // verified rep pairs sit between DISTINCT hashes (dist >= 1), so
+    // dist == 0 identifies membership rows unambiguously
+    val members = rows.filter(_._3 == 0L).map(r => (r._1, r._2)).toList
+    val clusterOf: Map[String, List[String]] =
+      (members.map(_._1) ++ members.map(_._2)).distinct
+        .map(id => id -> (id :: members.filter(_._1 == id).map(_._2))).toMap
+    // reconstruct the full all-pairs set from the compact form
+    val withinRec = members.groupBy(_._1).values.toList.flatMap { ms =>
+      val ids = (ms.head._1 :: ms.map(_._2)).sorted
+      for (a <- ids; b <- ids if a < b) yield (a, b, 0L)
+    }
+    val crossRec = rows.filter(_._3 > 0L).toList.flatMap { case (ra, rb, dd) =>
+      val ca = clusterOf.getOrElse(ra, List(ra))
+      val cb = clusterOf.getOrElse(rb, List(rb))
+      for (a <- ca; b <- cb)
+        yield if (a < b) (a, b, dd) else (b, a, dd)
+    }
+    assert((withinRec ++ crossRec).toSet === full.toSet)
+    compact.unpersist(blocking = true)
+  }
+
   test("operators release every cached intermediate (only the result stays)") {
     // the measured failure mode: stale cached blocks from one operator
     // evicting the next operator's execution memory (14 s -> 195 s join)

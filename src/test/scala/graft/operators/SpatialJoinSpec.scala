@@ -209,4 +209,54 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(counts.map(_.getLong(0)).toSet === Set(2L))
     assert(got.select("point_id").distinct().count() === 300)
   }
+
+  test("AutoLevel (default level): pipJoin and knnJoin pick a level and stay exact") {
+    val bruteP = points.crossJoin(polys)
+      .where(pip($"x", $"y", $"exterior", $"holes"))
+      .select($"point_id", $"poly_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val gotP = SpatialJoins.pipJoin(points, polys) // no level passed
+      .select($"point_id", $"poly_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(gotP === bruteP)
+
+    val labels = polys
+      .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+      .cache()
+    val w = Window.partitionBy("point_id").orderBy($"d2", $"poly_id")
+    val bruteK = points.crossJoin(labels)
+      .withColumn("d2", ($"x" - $"lx") * ($"x" - $"lx") + ($"y" - $"ly") * ($"y" - $"ly"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val gotK = SpatialJoins.knnJoin(points, labels, 3) // no level passed
+      .select($"point_id", $"poly_id", $"rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(gotK === bruteK)
+  }
+
+  test("autoLevel scales with polygon bbox; knnAutoLevel with label count") {
+    def rects(hw: Double) = spark.range(50).select(array(
+      struct(lit(-hw).as("x"), lit(-hw).as("y")),
+      struct(lit(hw).as("x"), lit(-hw).as("y")),
+      struct(lit(hw).as("x"), lit(hw).as("y")),
+      struct(lit(-hw).as("x"), lit(hw).as("y")),
+      struct(lit(-hw).as("x"), lit(-hw).as("y"))).as("exterior"))
+    val fine = SpatialJoins.autoLevel(rects(0.05))   // parcel-sized
+    val coarse = SpatialJoins.autoLevel(rects(45.0)) // continent-sized
+    assert(fine > coarse,
+      s"small polygons must get a finer grid (fine=$fine coarse=$coarse)")
+    assert(coarse >= 0 && fine <= graft.geom.CellIndex.MaxLevel)
+    // degenerate side falls back to the historical constant
+    assert(SpatialJoins.autoLevel(rects(0.0)) === 9)
+
+    // density rule: grid cells ~ label count (Range plans carry rowCount)
+    def labs(n: Long) = spark.range(n).select($"id".as("poly_id"),
+      lit(0.0).as("lx"), lit(0.0).as("ly"))
+    assert(SpatialJoins.knnAutoLevel(labs(4096)) === 6) // 4^6 = 4096
+    assert(SpatialJoins.knnAutoLevel(labs(16)) === 2)
+    assert(SpatialJoins.knnAutoLevel(labs(1)) === 1) // floor
+  }
 }

@@ -44,6 +44,15 @@ class PipJoinRewriteSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("rewrite level scales with polygon-side row-count stats, clamped") {
+    def planOf(n: Long) = spark.range(n).queryExecution.optimizedPlan
+    val small = PipJoinRewrite.levelFor(planOf(100))
+    val big = PipJoinRewrite.levelFor(planOf(1000000L))
+    assert(small < big, s"more polygons must get a finer prefilter ($small vs $big)")
+    assert(small >= 6 && big <= 12)
+    assert(PipJoinRewrite.levelFor(planOf(1)) === 6) // clamp floor
+  }
+
   test("rule leaves non-spatial joins untouched") {
     val a = spark.range(10).toDF("ida")
     val b = spark.range(10).toDF("idb")
