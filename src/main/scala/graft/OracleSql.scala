@@ -450,6 +450,42 @@ object OracleSql {
          |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    // IVF-Flat ANN (= Similarity.annTopKIvf nLists=16 nProbe=2): the
+    // codebook is the quantized vectors of vec_ids [0,16); every vector
+    // joins its exact-integer-L2-nearest centroid's list (ties toward the
+    // lower centroid id); queries probe their 2 nearest lists; exact
+    // integer dot re-ranks candidates.
+    "q_embed_ivf" ->
+      s"""WITH $quantCte,
+         |ctq AS (SELECT vec_id AS cid, i, q FROM qv WHERE vec_id < 16),
+         |dst AS (
+         |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+         |  FROM qv v JOIN ctq c ON v.i = c.i
+         |  GROUP BY 1, 2),
+         |asg AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk
+         |  FROM dst),
+         |dlist AS (SELECT vec_id, cid AS list FROM asg WHERE rnk = 1),
+         |qlist AS (
+         |  SELECT vec_id AS query_id, cid AS list
+         |  FROM asg WHERE vec_id < 10 AND rnk <= 2),
+         |cand AS (
+         |  SELECT ql.query_id, d.vec_id
+         |  FROM qlist ql JOIN dlist d ON ql.list = d.list AND ql.query_id <> d.vec_id),
+         |dots AS (
+         |  SELECT c.query_id, c.vec_id, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qv qa ON qa.vec_id = c.query_id
+         |  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, vec_id, dot,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM dots)
+         |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_embed_neardup" ->
       s"""WITH $quantCte,
          |$lshCte,

@@ -248,6 +248,16 @@ object SparkEntry {
       Similarity.annTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3,
         multiProbe = true).orderBy("query_id", "rank")),
 
+    // IVF-Flat variant: deterministic codebook (quantized vectors of the
+    // 16 lowest vec_ids), exact-integer-L2 list assignment, 2 probed
+    // lists per query, exact integer dot re-rank — the oracle derives the
+    // identical codebook/assignment relationally
+    "q_embed_ivf" -> ((s, dir) => {
+      g(s) // ivf_nearest is a registered graft expression
+      Similarity.annTopKIvf(t(s, dir, "embeddings"), nQueries = 10, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau2x10000 = 900)
         .orderBy("vec_a", "vec_b")),

@@ -68,6 +68,53 @@ object ExprHelpers {
     bucket
   }
 
+  /** IVF-Flat coarse quantizer: the 0-based index of the `rank`-th
+    * nearest centroid to quantized vector `q` by EXACT integer squared-L2
+    * distance, ties broken toward the lower centroid index (the SQL
+    * oracle mirrors this with ORDER BY d2, cid). `cent` is the row-major
+    * flattened nLists x dim centroid matrix (dim = cent.numElements /
+    * nLists). Components past min(dim, q.numElements) are skipped on
+    * both sides, matching the relational formulation's inner join on i.
+    * rank >= nLists returns the last (furthest) centroid index.
+    */
+  def ivfNearest(q: ArrayData, cent: ArrayData, nLists: Int, rank: Int): Int = {
+    val dim = cent.numElements() / nLists
+    val n = math.min(dim, q.numElements())
+    val d = new Array[Long](nLists)
+    var c = 0
+    while (c < nLists) {
+      val base = c * dim
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val diff = q.getLong(i) - cent.getLong(base + i)
+        s += diff * diff
+        i += 1
+      }
+      d(c) = s
+      c += 1
+    }
+    // rank-th smallest by (d2, index): repeated selection — nLists is the
+    // codebook size (<= a few hundred) and rank <= nProbe, so this stays
+    // a tiny in-register loop; real d2 never reaches the MaxValue marker
+    var chosen = -1
+    var r = 0
+    while (r <= rank) {
+      var best = -1
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < nLists) {
+        if (d(j) < bestD) { bestD = d(j); best = j }
+        j += 1
+      }
+      if (best < 0) return chosen
+      chosen = best
+      d(best) = Long.MaxValue
+      r += 1
+    }
+    chosen
+  }
+
   def cover(ext: ArrayData, holes: ArrayData, level: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(
       CellIndex.cover(GeomEncoding.polygonFrom(ext, holes), level))

@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.geom._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -256,6 +256,37 @@ case class LshBucketExpr(q: Expression, planes: Expression, dim: Expression)
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(q = f, planes = s, dim = t)
+}
+
+/** `ivf_nearest(q, cent, nLists, rank) -> int` — IVF-Flat coarse
+  * quantizer: the 0-based index of the `rank`-th nearest centroid to the
+  * quantized (array<bigint>) vector `q`, by exact integer squared-L2
+  * distance, ties toward the lower centroid index. `cent` is the
+  * row-major flattened nLists x dim codebook — bounded metadata inlined
+  * as a literal, so list assignment is ONE codegen'd projection per row
+  * (no join, no shuffle; same shape as lsh_bucket).
+  */
+case class IvfNearestExpr(q: Expression, cent: Expression,
+                          nLists: Expression, rank: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = q
+  override def second: Expression = cent
+  override def third: Expression = nLists
+  override def fourth: Expression = rank
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_nearest"
+
+  override def nullSafeEval(a: Any, c: Any, n: Any, r: Any): Any =
+    ExprHelpers.ivfNearest(a.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      n.asInstanceOf[Int], r.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c, n, r) =>
+      s"graft.functions.ExprHelpers.ivfNearest($a, $c, $n, $r)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, o: Expression): Expression =
+    copy(q = f, cent = s, nLists = t, rank = o)
 }
 
 /** `polygon_cover(exterior, holes, level) -> array<bigint>` — exact set of

@@ -19,6 +19,7 @@ object GraftFunctions {
     "cell_kring" -> (e => CellKRingExpr(e(0), e(1))),
     "cell_annulus" -> (e => CellAnnulusExpr(e(0), e(1), e(2))),
     "lsh_bucket" -> (e => LshBucketExpr(e(0), e(1), e(2))),
+    "ivf_nearest" -> (e => IvfNearestExpr(e(0), e(1), e(2), e(3))),
     "text_fingerprint" -> (e => TextFingerprintExpr(e(0))),
     "polygon_cover" -> (e => PolygonCoverExpr(e(0), e(1), e(2))),
     "pip" -> (e => PipExpr(e(0), e(1), e(2), e(3))),
@@ -44,6 +45,8 @@ object GraftFunctions {
     call_function("cell_annulus", cell, rInner, rOuter)
   def lsh_bucket(q: Column, planes: Column, dim: Column): Column =
     call_function("lsh_bucket", q, planes, dim)
+  def ivf_nearest(q: Column, cent: Column, nLists: Column, rank: Column): Column =
+    call_function("ivf_nearest", q, cent, nLists, rank)
   def text_fingerprint(text: Column): Column =
     call_function("text_fingerprint", text)
   def polygon_cover(exterior: Column, holes: Column, level: Column): Column =

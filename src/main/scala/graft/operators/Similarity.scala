@@ -121,6 +121,65 @@ object Similarity {
     Caching.materializeAndRelease(out, buckets, q)
   }
 
+  /** IVF-Flat ANN top-k — the second scale path beside sign-LSH.
+    *
+    * Coarse quantizer: a deterministic codebook (the quantized vectors of
+    * the `nLists` lowest vec_ids — closed-form so the SQL oracle derives
+    * the identical codebook; a trained k-means would drop in unchanged).
+    * Every vector is assigned to its exact-integer-L2-nearest centroid
+    * (`list`); each query probes its `nProbe` nearest lists; candidates
+    * share a probed list; the exact integer dot re-ranks candidates.
+    *
+    * 100 TB shape:
+    *   - the codebook is bounded metadata (nLists x dim int64s) —
+    *     collected once and inlined as a literal, so list assignment is
+    *     ONE codegen'd `ivf_nearest` projection per row: no join, no
+    *     shuffle on the data side (same shape as `lsh_bucket`);
+    *   - the probe side fans out only the queries (x nProbe);
+    *   - the re-rank dot is `aggregate(zip_with(...))` over the two
+    *     quantized arrays — in-row codegen, no per-component explode, so
+    *     candidate traffic is 1 row/pair instead of `dim` rows/pair;
+    *   - ranks 0..nProbe-1 are nProbe DISTINCT centroid ids and each data
+    *     vector has exactly one list, so a pair matches through at most
+    *     one probe — no distinct needed (same argument as annTopK).
+    *
+    * Output (query_id, vec_id, dot, rank), ties toward lower vec_id.
+    */
+  def annTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+                 nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import graft.functions.GraftFunctions.ivf_nearest
+    val qvec = embeddings
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")).as("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val centRows = qvec.where(col("vec_id") < nLists).orderBy("vec_id").collect()
+    require(centRows.length == nLists,
+      s"IVF codebook needs vec_ids [0, $nLists) present with non-empty embeddings")
+    val centLit = typedLit(centRows.flatMap(_.getSeq[Long](1)).toSeq)
+    val data = qvec.select(col("vec_id"),
+      ivf_nearest(col("qvec"), centLit, lit(nLists), lit(0)).as("list"))
+    val queries = qvec.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qvec"),
+        explode(lit((0 until nProbe).toArray)).as("p"))
+      .select(col("query_id"),
+        ivf_nearest(col("qvec"), centLit, lit(nLists), col("p")).as("list"))
+    val candPairs = queries.join(data, "list")
+      .where(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
+    val dots = candPairs
+      .join(qvec.select(col("vec_id").as("query_id"), col("qvec").as("qa")),
+        Seq("query_id"))
+      .join(qvec.select(col("vec_id"), col("qvec").as("qb")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
+    val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    Caching.materializeAndRelease(out, qvec)
+  }
+
   /** Near-duplicate pairs: cosine >= tau via the integer
     * cross-multiplication dot^2 * 10000 >= tau2x10000 * |a|^2 * |b|^2
     * (dot > 0). Output (vec_a, vec_b, dot).

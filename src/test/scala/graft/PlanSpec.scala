@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"bucket build fell out of codegen:\n$plan")
   }
 
+  test("IVF list assignment is a pure per-row projection: no exchange, codegen'd") {
+    // the codebook is a literal (bounded metadata), so assigning every
+    // vector to its nearest centroid must not join or shuffle — the data
+    // side of annTopKIvf stays map-only at any scale
+    import graft.functions.GraftFunctions.ivf_nearest
+    import org.apache.spark.sql.functions._
+    graft.GraftSession.install(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = (0 until 16 * 64).map(_.toLong % 7L)
+    val df = emb.select(col("vec_id"),
+      ivf_nearest(transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")),
+        typedLit(cent), lit(16), lit(0)).as("list"))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"list assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"list assignment must not explode:\n$plan")
+    assert(plan.contains("*("), s"list assignment fell out of codegen:\n$plan")
+  }
+
   test("fingerprint is a per-row codegen'd scalar: no explode, no exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = planOf(graft.operators.TextOps.fingerprint(docs))

@@ -123,6 +123,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("annTopKIvf probing ALL lists == bruteTopK exactly") {
+    // with nProbe = nLists every query probes every list, so candidates =
+    // all vectors except self and the IVF result must equal the declared
+    // brute-force baseline bit-for-bit (same exact integer dots and ties)
+    val ivf = Similarity.annTopKIvf(embeddings, nQueries = 5, k = 3,
+        nLists = 16, nProbe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val brute = Similarity.bruteTopK(embeddings, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivf === brute)
+  }
+
+  test("ivf_nearest ranks centroids by exact integer L2, ties toward lower id") {
+    import graft.functions.GraftFunctions.ivf_nearest
+    graft.GraftSession.install(spark)
+    val vecs = embeddings.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(f => math.round(f.toDouble * 1000.0)).toArray }
+      .sortBy(_._1)
+    val nLists = 16
+    val cents = vecs.take(nLists).map(_._2)
+    val centFlat = cents.flatten.toSeq
+    val got = embeddings
+      .select(col("vec_id"),
+        ivf_nearest(transform(col("embedding"),
+            v => round(v.cast("double") * 1000.0, 0).cast("long")),
+          typedLit(centFlat), lit(nLists), lit(0)).as("l0"),
+        ivf_nearest(transform(col("embedding"),
+            v => round(v.cast("double") * 1000.0, 0).cast("long")),
+          typedLit(centFlat), lit(nLists), lit(1)).as("l1"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    for ((id, qv) <- vecs) {
+      val ranked = cents.zipWithIndex.map { case (c, ci) =>
+        (qv.zip(c).map { case (a, b) => val d = a - b; d * d }.sum, ci)
+      }.sortBy(identity).map(_._2)
+      assert(got(id) === ((ranked(0), ranked(1))), s"vec $id")
+    }
+    // a centroid vector is its own nearest centroid (d2 = 0) — the
+    // tie-toward-lower-id rule only matters for exact duplicates
+    for (ci <- 0 until nLists) assert(got(ci.toLong)._1 <= ci)
+  }
+
   test("simhash (64-bit): near-duplicate docs have small hamming distance") {
     val near = Dedup.ngramJaccardPairs(docs, 1, 2)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -253,6 +295,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertClean("minhashLshPairs")(Dedup.minhashLshPairs(docs, 16, 4, 1, 2))
     assertClean("bruteTopK")(Similarity.bruteTopK(embeddings, 5, 3))
     assertClean("annTopK")(Similarity.annTopK(embeddings, 5, 3, multiProbe = true))
+    assertClean("annTopKIvf")(Similarity.annTopKIvf(embeddings, 5, 3))
     assertClean("nearDupPairs")(Similarity.nearDupPairs(embeddings, 900))
   }
 
