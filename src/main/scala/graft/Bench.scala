@@ -75,6 +75,13 @@ object BenchWorkloads {
         Similarity.bruteTopK(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), nQueries = 50, k = 10)
       }),
+      ("embed_ivf", -1L, () => {
+        // IVF-Flat ANN at the same query shape as embed_topk: the scale
+        // path (map-only list assignment + probed-list candidates) vs the
+        // brute baseline directly above it in the artifact
+        Similarity.annTopKIvf(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), nQueries = 50, k = 10)
+      }),
       ("cell_agg", -1L, () => {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .withColumn("x", (col("l_orderkey") % 3600) / 10.0 - 180.0)
