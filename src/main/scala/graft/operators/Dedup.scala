@@ -90,21 +90,37 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     minhashSignaturesFromShingles(TextOps.shingles3(docs), numHashes)
 
-  /** Same, over an existing (doc_id, shingle) frame — lets the caller
-    * compute (and cache) the shingle set ONCE and feed both the signature
-    * build and the exact verify from it.
+  /** Wide MinHash signatures (doc_id, m0..m{H-1}) over a (doc_id,
+    * shingle) frame, in ONE partial-agg groupBy: H independent
+    * min-aggregates over a single shingle-int projection. The previous
+    * formulation (crossJoin a broadcast params table, groupBy (doc_id,
+    * j)) pushed H x |shingles| pre-agg rows into the exchange; here
+    * map-side combine reduces the shuffle to ~1 row per (doc,
+    * partition). Nor is a distinct() exchange needed: duplicate
+    * (doc_id, s) rows (shingleInt collisions of distinct shingles —
+    * shingles3 itself already dedups) cannot change a min. Same
+    * closed-form (a_j, b_j) and integer arithmetic, so every m_j is
+    * bit-identical to the old path and the SQL oracles are untouched.
+    */
+  def minhashSignaturesWide(sh: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { j =>
+      val a = (j * 2654435761L + 1L) % P
+      val b = (j * 40503L + 7L) % P
+      min((lit(a) * col("s") + lit(b)) % P).as(s"m$j")
+    }
+    sh.withColumn("s", TextOps.shingleInt(col("shingle")))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Same signatures in long form (doc_id, j, minh) — derived from the
+    * wide build by a cheap per-row explode (H rows per doc, post-agg).
     */
   def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    val params = (0 until numHashes)
-      .map(j => (j, (j * 2654435761L + 1L) % P, (j * 40503L + 7L) % P))
-      .toDF("j", "a", "b")
-    sh.withColumn("s", TextOps.shingleInt(col("shingle")))
-      .select("doc_id", "s").distinct()
-      .crossJoin(broadcast(params))
-      .groupBy("doc_id", "j")
-      .agg(min((col("a") * col("s") + col("b")) % P).as("minh"))
+    val jm = (0 until numHashes).map(j =>
+      struct(lit(j).as("j"), col(s"m$j").as("minh")))
+    minhashSignaturesWide(sh, numHashes)
+      .select(col("doc_id"), explode(array(jm: _*)).as("jm"))
+      .select(col("doc_id"), col("jm.j").as("j"), col("jm.minh").as("minh"))
   }
 
   /** MinHash + LSH banding + exact verify. Bands of `rowsPerBand` hashes;
@@ -154,19 +170,27 @@ object Dedup {
     val sh = TextOps.shingles3(repDocs).select("doc_id", "shingle")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sig = minhashSignaturesFromShingles(sh, numHashes)
-    // 31^(j mod rows) as an explicit integer mapping — libm pow() is not
-    // guaranteed exactly rounded, and a 29790.999.. would silently change
-    // band keys differently per engine
-    val wMap = (0 until rowsPerBand).map(r => (r, (0 until r).foldLeft(1L)((a, _) => a * 31L)))
-    val wCol = wMap.tail.foldLeft(lit(wMap.head._2)) { case (acc, (r, v)) =>
-      when(col("j") % rowsPerBand === r, v).otherwise(acc)
+    // band keys straight off the wide signature columns: key_b =
+    // sum_r m_{b*rows+r} * 31^r as a per-row projection (exact integer
+    // addition is order-free, so this equals the old sum() aggregate over
+    // long-form rows bit-for-bit), then a tiny nBands-per-doc explode.
+    // 31^r as an explicit integer fold — libm pow() is not guaranteed
+    // exactly rounded, and a 29790.999.. would silently change band keys
+    // differently per engine.
+    val wide = minhashSignaturesWide(sh, numHashes)
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val lo = b * rowsPerBand
+      val key = (lo until math.min(lo + rowsPerBand, numHashes)).map { j =>
+        val w = (lo until j).foldLeft(1L)((a, _) => a * 31L)
+        col(s"m$j") * lit(w)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("band_key"))
     }
-    val banded = sig
-      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
-      .withColumn("w", wCol)
-      .groupBy("doc_id", "band")
-      .agg(sum(col("minh") * col("w")).as("band_key"))
+    val banded = wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.band_key").as("band_key"))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -66,6 +66,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"bucket build fell out of codegen:\n$plan")
   }
 
+  test("minhash signature build adds exactly ONE exchange over the shingle frame") {
+    // the old formulation (distinct -> params crossJoin -> groupBy(doc,j))
+    // pushed 3 exchanges carrying up to H x |shingles| rows; the wide
+    // build is one partial-agg'd groupBy(doc_id) — map-side combine means
+    // the single exchange carries ~1 row per (doc, partition)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = graft.operators.TextOps.shingles3(docs)
+      .select("doc_id", "shingle").persist()
+    try {
+      sh.count()
+      val plan = planOf(graft.operators.Dedup.minhashSignaturesWide(sh, 16))
+      // count only the operators the signature build ADDS on top of the
+      // cached shingle frame (whose own plan — window, distinct — is
+      // rendered below the InMemoryTableScan leaf)
+      val added = plan.split("InMemoryTableScan")(0)
+      val exchanges = "Exchange".r.findAllIn(added).size
+      assert(exchanges <= 1, s"expected <= 1 exchange, got $exchanges:\n$added")
+      assert(added.contains("HashAggregate"), s"expected a hash agg:\n$added")
+      assert(!added.contains("CartesianProduct") && !added.contains("Join"),
+        s"signature build must not join a params table:\n$added")
+    } finally sh.unpersist()
+  }
+
   test("IVF list assignment is a pure per-row projection: no exchange, codegen'd") {
     // the codebook is a literal (bounded metadata), so assigning every
     // vector to its nearest centroid must not join or shuffle — the data
