@@ -237,16 +237,20 @@ object SparkEntry {
       Similarity.bruteTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3)
         .orderBy("query_id", "rank")),
 
-    "q_embed_ann" -> ((s, dir) =>
+    "q_embed_ann" -> ((s, dir) => {
+      g(s) // lsh_bucket is a registered graft expression
       Similarity.annTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3)
-        .orderBy("query_id", "rank")),
+        .orderBy("query_id", "rank")
+    }),
 
     // multi-probe variant: each query also probes the buckets one
     // plane-flip away (recall fix for near-neighbours straddling a
     // hyperplane); oracle mirrors the 9-bucket probe exactly
-    "q_embed_ann_mp" -> ((s, dir) =>
+    "q_embed_ann_mp" -> ((s, dir) => {
+      g(s)
       Similarity.annTopK(t(s, dir, "embeddings"), nQueries = 10, k = 3,
-        multiProbe = true).orderBy("query_id", "rank")),
+        multiProbe = true).orderBy("query_id", "rank")
+    }),
 
     // IVF-Flat variant: deterministic codebook (quantized vectors of the
     // 16 lowest vec_ids), exact-integer-L2 list assignment, 2 probed
@@ -258,9 +262,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    "q_embed_neardup" -> ((s, dir) =>
+    "q_embed_neardup" -> ((s, dir) => {
+      g(s)
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau2x10000 = 900)
-        .orderBy("vec_a", "vec_b")),
+        .orderBy("vec_a", "vec_b")
+    }),
 
     // ---- event-time tumbling window agg (E17 batch shape) ---------------
     "q_events_window" -> ((s, dir) => {

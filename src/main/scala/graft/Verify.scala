@@ -18,6 +18,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // register the graft expressions up front: a spot-check subset (arg 3)
+    // must not depend on SOME earlier query having called g(s) — running
+    // q_embed_ann alone used to fail on unresolved `lsh_bucket`
+    GraftSession.install(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

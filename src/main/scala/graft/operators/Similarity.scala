@@ -30,19 +30,32 @@ object Similarity {
 
   /** Exact top-k by integer dot product for the `nQueries` lowest vec_ids
     * against the whole table. Output: (query_id, vec_id, dot, rank).
+    *
+    * The declared brute-force baseline — O(nQueries x N) pairs by
+    * definition — but the PLAN is still scale-shaped: the (tiny) query
+    * side broadcasts and each pair's dot is one in-row
+    * `aggregate(zip_with(...))`, so no exchange carries dim x pairs rows
+    * (the former per-component join + groupBy shuffled 64x the pair
+    * count); the only exchange left is the slim window rank.
     */
   def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val q = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
-    val queries = q.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("i"), col("q").as("qa"))
-    val data = q.select(col("vec_id"), col("i"), col("q").as("qb"))
-    val dots = queries.join(data, "i")
+    // null/empty embeddings produce no pair — mirroring the relational
+    // per-component inner join, where they contribute no (i, q) rows
+    val qvec = embeddings
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")).as("qvec"))
+    val queries = qvec.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qa"))
+    val dots = qvec.crossJoin(broadcast(queries))
       .where(col("query_id") =!= col("vec_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qa"), col("qvec"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-    Caching.materializeAndRelease(out, q)
+    Caching.materializeAndRelease(out)
   }
 
   /** Deterministic integer hyperplane component w(j, i): closed form so
