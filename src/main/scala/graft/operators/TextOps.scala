@@ -47,16 +47,29 @@ object TextOps {
 
   /** Distinct word-3-gram shingles per document, with the doc's blocking
     * key (`lang`) carried through.
+    *
+    * Built in-row from the token array (explode the 3-gram start
+    * indices): a doc's consecutive tokens are adjacent array elements,
+    * so no window `lead` — the former formulation paid a full sort
+    * exchange over EVERY token row plus a join back for `lang`; here the
+    * only exchange is the final distinct. Same split / MaxTokens slice /
+    * tail cut (i <= n-2 == lead(2).isNotNull), so the shingle set is
+    * identical.
     */
   def shingles3(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    tokens(docs)
-      .join(docs.select("doc_id", "lang"), "doc_id")
-      .withColumn("t2", lead("tok", 1).over(w))
-      .withColumn("t3", lead("tok", 2).over(w))
-      .where(col("t3").isNotNull)
+    // guard: sequence(1, n-2) DESCENDS for n < 3 (Spark defaults step to
+    // -1 when start > stop) — docs with < 3 tokens must emit no shingles
+    val n = size(col("tk"))
+    docs
       .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("tok"), col("t2"), col("t3")).as("shingle"))
+        slice(split(col("text"), " "), 1, MaxTokens).as("tk"))
+      .select(col("doc_id"), col("lang"), col("tk"),
+        explode(when(n >= 3, sequence(lit(1), n - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", element_at(col("tk"), col("i")),
+          element_at(col("tk"), col("i") + 1),
+          element_at(col("tk"), col("i") + 2)).as("shingle"))
       .distinct()
   }
 
