@@ -123,6 +123,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingles3 edge cases: < 3 tokens -> no shingles; duplicates collapse") {
+    // the in-row rewrite's risky branch: sequence(1, n-2) DESCENDS for
+    // n < 3 unless guarded — a 1-token doc must emit zero shingles, not
+    // explode over [1, 0, -1]
+    val d = Seq(
+      (1L, "", "en"), (2L, "one", "en"), (3L, "one two", "en"),
+      (4L, "a b c", "en"), (5L, "a b c d", "en"),
+      (6L, "x y x y x y", "en") // repeated 3-grams must dedup
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.shingles3(d).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got === Set(
+      (4L, "a b c"),
+      (5L, "a b c"), (5L, "b c d"),
+      (6L, "x y x"), (6L, "y x y")))
+  }
+
   test("annTopKIvf probing ALL lists == bruteTopK exactly") {
     // with nProbe = nLists every query probes every list, so candidates =
     // all vectors except self and the IVF result must equal the declared
