@@ -75,7 +75,11 @@ object Similarity {
     * vectors that is 5x10^14 shuffle rows for a value a per-row loop
     * computes in-place.
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame =
+  def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
+    // self-register the graft expressions (idempotent): the Column API
+    // resolves lsh_bucket through the session registry, and an operator
+    // must not depend on the caller having installed GraftSession first
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // null/empty embeddings emit NO bucket row — mirroring the relational
     // formulation (and the SQL oracles' bk CTE), where a vector with no
     // components never reaches the bucket aggregate. Without the filter
@@ -88,6 +92,7 @@ object Similarity {
         lsh_bucket(transform(col("embedding"),
             v => round(v.cast("double") * 1000.0, 0).cast("long")),
           lit(planes), lit(dim)).as("bucket"))
+  }
 
   /** ANN top-k: candidates share one of the query's probe buckets; exact
     * integer dot re-ranks within the candidates. Output
@@ -161,6 +166,7 @@ object Similarity {
   def annTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
                  nLists: Int = 16, nProbe: Int = 2): DataFrame = {
     import graft.functions.GraftFunctions.ivf_nearest
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val qvec = embeddings
       .where(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"),
