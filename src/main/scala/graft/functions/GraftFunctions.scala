@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.call_function
 
 /** Registry + Column API for the graft geometry expressions. Spark-first
   * surface: every function is a native Catalyst `Expression` (not a Scala
@@ -34,30 +33,41 @@ object GraftFunctions {
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
 
-  // DataFrame Column API
+  // DataFrame Column API — Columns are built DIRECTLY from the catalyst
+  // expressions (org.apache.spark.sql.graftbridge.ColumnBridge), not via
+  // the registry-resolved function-call route, which made every operator
+  // silently require GraftSession.install first (vanilla sessions threw
+  // UNRESOLVED_ROUTINE). The registry (register / GraftExtensions)
+  // remains the `spark.sql(...)` surface.
+  private val builders = all.toMap
+  private def fn(name: String, cols: Column*): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      builders(name)(cols.map(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression)))
+
   def polylabel(exterior: Column, holes: Column, tolerance: Column): Column =
-    call_function("polylabel", exterior, holes, tolerance)
+    fn("polylabel", exterior, holes, tolerance)
   def cell_of(x: Column, y: Column, level: Column): Column =
-    call_function("cell_of", x, y, level)
-  def cell_parent(cell: Column): Column = call_function("cell_parent", cell)
-  def cell_kring(cell: Column, k: Column): Column = call_function("cell_kring", cell, k)
+    fn("cell_of", x, y, level)
+  def cell_parent(cell: Column): Column = fn("cell_parent", cell)
+  def cell_kring(cell: Column, k: Column): Column = fn("cell_kring", cell, k)
   def cell_annulus(cell: Column, rInner: Column, rOuter: Column): Column =
-    call_function("cell_annulus", cell, rInner, rOuter)
+    fn("cell_annulus", cell, rInner, rOuter)
   def lsh_bucket(q: Column, planes: Column, dim: Column): Column =
-    call_function("lsh_bucket", q, planes, dim)
+    fn("lsh_bucket", q, planes, dim)
   def ivf_nearest(q: Column, cent: Column, nLists: Column, rank: Column): Column =
-    call_function("ivf_nearest", q, cent, nLists, rank)
+    fn("ivf_nearest", q, cent, nLists, rank)
   def text_fingerprint(text: Column): Column =
-    call_function("text_fingerprint", text)
+    fn("text_fingerprint", text)
   def polygon_cover(exterior: Column, holes: Column, level: Column): Column =
-    call_function("polygon_cover", exterior, holes, level)
+    fn("polygon_cover", exterior, holes, level)
   def pip(x: Column, y: Column, exterior: Column, holes: Column): Column =
-    call_function("pip", x, y, exterior, holes)
+    fn("pip", x, y, exterior, holes)
   def signed_dist(x: Column, y: Column, exterior: Column, holes: Column): Column =
-    call_function("signed_dist", x, y, exterior, holes)
-  def geojson_polygon(s: Column): Column = call_function("geojson_polygon", s)
+    fn("signed_dist", x, y, exterior, holes)
+  def geojson_polygon(s: Column): Column = fn("geojson_polygon", s)
   def geojson_feature_collection(s: Column): Column =
-    call_function("geojson_feature_collection", s)
+    fn("geojson_feature_collection", s)
 }
 
 /** `SparkSessionExtensions` hook so `--conf spark.sql.extensions=

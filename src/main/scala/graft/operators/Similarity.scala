@@ -76,10 +76,6 @@ object Similarity {
     * computes in-place.
     */
   def lshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
-    // self-register the graft expressions (idempotent): the Column API
-    // resolves lsh_bucket through the session registry, and an operator
-    // must not depend on the caller having installed GraftSession first
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // null/empty embeddings emit NO bucket row — mirroring the relational
     // formulation (and the SQL oracles' bk CTE), where a vector with no
     // components never reaches the bucket aggregate. Without the filter
@@ -166,7 +162,6 @@ object Similarity {
   def annTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
                  nLists: Int = 16, nProbe: Int = 2): DataFrame = {
     import graft.functions.GraftFunctions.ivf_nearest
-    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val qvec = embeddings
       .where(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id"),
