@@ -222,8 +222,10 @@ object SpatialJoins {
     * shuffle on the cell key — the path for label sets that rival the
     * point set in size (both sides co-partition by cell).
     *
-    * Rounds are materialized eagerly (count per round): that enables
-    * early-exit when everything is resolved. The returned DataFrame is
+    * Each round materializes its own RESOLVED OUTPUT SLICE; the count of
+    * still-unresolved points is maintained arithmetically off that slice
+    * (lazy advancement — see resolvePass), enabling early-exit without a
+    * per-round pass over the survivors. The returned DataFrame is
     * the bare union over the operator's fully-materialized columnar
     * round parts (no second output-sized cache); the parts' storage is
     * ADOPTED by the result, so callers MUST drop it with
@@ -246,8 +248,10 @@ object SpatialJoins {
     * whose label density forces most points through many rounds.
     *
     * LINEAGE TRUNCATION: the unresolved-points chain (and the carried
-    * candidates in carry mode) is materialized with an EAGER
-    * `localCheckpoint`, not a bare persist. An iterative chain of
+    * candidates in carry mode) is periodically materialized with an EAGER
+    * `localCheckpoint`, not a bare persist — "periodically" because lazy
+    * advancement (resolvePass) stacks at most three anti-join filters
+    * between checkpoints, so plan depth stays bounded. An iterative chain of
     * persisted frames keeps its full LOGICAL lineage, and this loop's
     * lineage otherwise grows exponentially in the round count (each
     * round references the previous unresolved set twice) — measured: a
@@ -330,11 +334,15 @@ object SpatialJoins {
     // round 1 always runs — its own count() establishes the real number;
     // an up-front count of the input would cost one full extra pass
     var nLeft = Long.MaxValue
+    // rounds since the unresolved chain was last checkpointed (see the
+    // lazy-advancement note in resolvePass)
+    var stackedDepth = 0
     var resolvedParts = List.empty[DataFrame]
     var carried: DataFrame = null // prev round's UNPRUNED candidates, cached
     var prevR = 0
     val cacheHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val releaseHandles = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    releaseHandles += unresolved
     val wc = Window.partitionBy("point_id")
 
     // One pass = rank candidates + slice the resolved output + advance the
@@ -391,22 +399,45 @@ object SpatialJoins {
       // resolved point exactly once)
       val okIds = part.where(col("rank") === 1).select(col("point_id").as("ok_id"))
       val t0 = System.nanoTime()
-      val next = truncated(
-        unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti"))
-      val tCkpt = System.nanoTime()
-      nLeft = next.count()
+      // LAZY ADVANCEMENT: nLeft is maintained ARITHMETICALLY (every okId
+      // is by construction a still-unresolved point, and row_number rank 1
+      // marks each resolved point exactly once), so a round costs one
+      // count over the round's own (small, cached) part — NOT a full
+      // checkpoint-write + full-scan count of the surviving point set.
+      // The old shape paid an unresolved-set-sized, memory-bandwidth-bound
+      // copy per round even when the round resolved NOTHING (a sparse
+      // label grid leaves early rings empty), and that copy was the
+      // operator's largest parallelism-insensitive cost. The anti-join
+      // filter is instead STACKED lazily onto the unresolved frame (a
+      // broadcast-hash probe fused into the next round's explode scan);
+      // the chain is re-checkpointed only when the write pays for itself —
+      // the set shrank >= 30% (all later rounds then scan fewer rows) or
+      // three filters have stacked (bounds plan depth and re-probe work).
+      val nResolved = okIds.count()
+      if (nLeft == Long.MaxValue) nLeft = unresolved.count() // once, round 1
+      val prevLeft = nLeft
+      nLeft = nLeft - nResolved
+      if (nResolved > 0 && nLeft > 0) {
+        val next =
+          unresolved.join(okIds, unresolved("point_id") === okIds("ok_id"), "left_anti")
+        stackedDepth += 1
+        if (stackedDepth >= 3 || nResolved * 10L >= prevLeft * 3L) {
+          stackedDepth = 0
+          // NOTHING is released mid-loop: the result assembly below may
+          // recompute a branch whose lineage reads these blocks (cache
+          // substitution is not guaranteed across the union), and a
+          // released local checkpoint in that path is an unrecoverable
+          // error — the measured crash mode. All storage is dropped
+          // together after the result is materialized (all truncated
+          // frames are tracked in releaseHandles at creation);
+          // MEMORY_AND_DISK spills rather than OOMs in the meantime.
+          unresolved = truncated(next)
+          releaseHandles += unresolved
+        } else unresolved = next
+      }
       if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
-        System.err.println(f"[knn] round $tag ckpt=${(tCkpt - t0) / 1e9}%.2f s " +
-          f"count=${(System.nanoTime() - tCkpt) / 1e9}%.2f s nLeft=$nLeft")
-      // NOTHING is released mid-loop: the result assembly below may
-      // recompute a branch whose lineage reads these blocks (cache
-      // substitution is not guaranteed across the union), and a released
-      // local checkpoint in that path is an unrecoverable error — the
-      // measured crash mode. All storage is dropped together after the
-      // result is materialized; MEMORY_AND_DISK spills rather than OOMs
-      // in the meantime.
-      releaseHandles += unresolved
-      unresolved = next
+        System.err.println(f"[knn] round $tag advance=${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"resolved=$nResolved nLeft=$nLeft stacked=$stackedDepth")
     }
 
     val it = rounds.iterator
@@ -515,9 +546,11 @@ object SpatialJoins {
     // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Counting a cached part only
     // fills missing partitions — no output-sized copy.
     resolvedParts.foreach(_.count())
+    // every truncated() frame was tracked at creation; the final
+    // `unresolved` may be a LAZY filter over the last checkpoint (lazy
+    // advancement), whose blocks are those of its tracked base
     releaseHandles.foreach(release)
     if (carried != null) release(carried)
-    release(unresolved)
     lab.unpersist(blocking = false)
     Caching.adopt(result, cacheHandles.toList.distinct)
   }
