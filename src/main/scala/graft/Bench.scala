@@ -351,6 +351,16 @@ object ScalingBench {
         .map(i => lo(i) / hi(i) / 4.0).maxOption.getOrElse(0.0)
       out ++= f"\nBest same-round pair efficiency: $bestPair%.2f\n"
     }
+    // North-star throughput: the composed pipeline workload moves
+    // scale x 1500 images end-to-end (decode -> tile -> label ->
+    // PIP-assign -> lineage'd sink); report rows/s at both parallelism
+    // levels off the same per-side minima the table uses
+    for (pipeLo <- r8.get("pipeline"); pipeHi <- r32.get("pipeline")) {
+      val nImg = (scaleStr.toDouble * 1500).toLong
+      out ++= f"\nPipeline throughput (north-star): $nImg images — " +
+        f"${nImg / pipeLo}%.0f img/s at local[$nLo] -> ${nImg / pipeHi}%.0f img/s " +
+        f"at local[$nHi] (efficiency ${pipeLo / pipeHi / 4.0}%.2f)\n"
+    }
     print(out)
     val p = java.nio.file.Paths.get("BENCH/BASELINE.md")
     java.nio.file.Files.write(p, out.toString.getBytes("UTF-8"),
