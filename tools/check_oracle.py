@@ -33,3 +33,8 @@ for name, sql in sorted(oracle.items()):
             print(f'{name}: VALUE MISMATCH col={c} row={i}: {gv.iloc[i]!r} vs {wv.iloc[i]!r}')
             same = False; break
     if same: print(f'{name}: OK ({len(got)} rows)')
+
+# Usage: python3 tools/check_oracle.py [sfDir] [verifyOutDir]
+# Mirrors the driver's correctness gate locally: run graft.Verify first,
+# then this script replays every oracle_sql.json entry in DuckDB and
+# compares (columns sorted by name, rows sorted, stringified values).
