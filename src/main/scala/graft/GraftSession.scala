@@ -26,9 +26,30 @@ object GraftSession {
   }
 
   def create(master: String, shufflePartitions: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(withTaskRetries(master))
-      .appName(appName)
+    val spark = configure(SparkSession.builder().master(withTaskRetries(master)),
+      shufflePartitions, appName)
+      // only meaningful pre-JVM in local mode via sbt's forked -Xmx (see
+      // build.sbt); harmless echo here so the conf page tells the truth
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    finish(spark)
+  }
+
+  /** Session for a jar launched by spark-submit: the master, driver and
+    * executor resources come from the submit arguments (the north rule's
+    * literal shape — `spark-submit` against a multi-executor cluster), so
+    * setting them here would silently override the cluster topology under
+    * measurement. Everything else (AQE, skew join, shuffle partitions
+    * sized to the data, UTC, function registry) matches [[create]] so the
+    * cluster campaign measures the same engine configuration as the
+    * local[N] one.
+    */
+  def createForSubmit(shufflePartitions: Int, appName: String = "graft"): SparkSession =
+    finish(configure(SparkSession.builder(), shufflePartitions, appName).getOrCreate())
+
+  private def configure(b: SparkSession.Builder, shufflePartitions: Int,
+                        appName: String): SparkSession.Builder =
+    b.appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // AQE on by default (skew-join splitting is part of the scale
@@ -46,8 +67,8 @@ object GraftSession {
       .config("spark.local.dir",
         if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
           "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir"))
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
-      .getOrCreate()
+
+  private def finish(spark: SparkSession): SparkSession = {
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
     spark
