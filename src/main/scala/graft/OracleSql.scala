@@ -678,6 +678,41 @@ object OracleSql {
         |WHERE bit_count(xor(a.mask, b.mask)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // same closed-form pair set, then connected components as a
+    // recursive-CTE label propagation (set-semantics UNION reaches the
+    // fixpoint; min reachable label per node = the component's min id)
+    "q_cc_clusters" ->
+      """WITH RECURSIVE ids AS (SELECT t.range AS id FROM range(0, 240) t),
+        |base AS (
+        |  SELECT 'img-' || lpad(CAST(id AS VARCHAR), 8, '0') AS image_id,
+        |         id % 60 AS g, CAST(0 AS BIGINT) AS mask
+        |  FROM ids),
+        |tp AS (
+        |  SELECT id, id % 60 AS g,
+        |         (id * 7) % 61 AS p1,
+        |         ((id * 7) % 61 + 1 + id % 31) % 61 AS p2,
+        |         (((id * 7) % 61 + 1 + id % 31) % 61 + 1 + (id * 3) % 29) % 61 AS p3
+        |  FROM ids WHERE id % 4 <> 0),
+        |twin AS (
+        |  SELECT 'prt-' || lpad(CAST(id AS VARCHAR), 8, '0') AS image_id, g,
+        |         (CAST(1 AS BIGINT) << CAST(p1 AS INT))
+        |         | (CASE WHEN id % 4 >= 2 THEN (CAST(1 AS BIGINT) << CAST(p2 AS INT)) ELSE 0 END)
+        |         | (CASE WHEN id % 4 >= 3 THEN (CAST(1 AS BIGINT) << CAST(p3 AS INT)) ELSE 0 END) AS mask
+        |  FROM tp),
+        |m AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        |pairs AS (
+        |  SELECT a.image_id AS id_a, b.image_id AS id_b
+        |  FROM m a JOIN m b ON a.g = b.g AND a.image_id < b.image_id
+        |  WHERE bit_count(xor(a.mask, b.mask)) <= 3),
+        |ue AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |       UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM ue
+        |  UNION
+        |  SELECT e.v, r.r FROM reach r JOIN ue e ON e.u = r.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+
     "q_phash_groups" ->
       """WITH imgs AS (
         |  SELECT t.range AS id,

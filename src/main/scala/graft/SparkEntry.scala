@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, Similarity, SpatialJoins, TextOps, Tiling}
+import graft.operators.{Components, Dedup, Similarity, SpatialJoins, TextOps, Tiling}
 import graft.sources.GeoTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,37 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private def g(spark: SparkSession): SparkSession = GraftSession.install(spark)
+
+  /** Deterministic phash-SHAPED table shared by q_phash_neardup and
+    * q_cc_clusters: per-id group g, parity-coded 7-bit value replicated
+    * into all 8 bytes (cross-group distance >= 16) with planted 1/2/3-bit
+    * perturbations at closed-form positions — both engines derive the
+    * pair set exactly (real pixel phashes of distinct renders come as
+    * close as Hamming 2, so they can't carry a closed-form oracle; the
+    * real-pixel path is spec-covered in PipelineOpsSpec).
+    */
+  private def syntheticPhashTable(s: SparkSession): DataFrame = {
+    val ids = s.range(240)
+      .withColumn("g", col("id") % 60)
+      .withColumn("v", expr("shiftleft(g, 1) | (bit_count(g) % 2)"))
+      .withColumn("phash", col("v") * lit(72340172838076673L)) // x 0x0101..01: v in every byte
+    val base = ids.select(
+      concat(lit("img-"), lpad(col("id").cast("string"), 8, "0")).as("image_id"),
+      col("phash"))
+    val twins = ids.where(col("id") % 4 =!= 0)
+      .withColumn("p1", (col("id") * 7) % 61)
+      .withColumn("p2", (col("p1") + 1 + col("id") % 31) % 61)
+      .withColumn("p3", (col("p2") + 1 + (col("id") * 3) % 29) % 61)
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 AS INT))")
+          .bitwiseOR(when(col("id") % 4 >= 2,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p2 AS INT))")).otherwise(0L))
+          .bitwiseOR(when(col("id") % 4 >= 3,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(p3 AS INT))")).otherwise(0L)))
+      .select(concat(lit("prt-"), lpad(col("id").cast("string"), 8, "0")).as("image_id"),
+        col("phash").bitwiseXOR(col("mask")).as("phash"))
+    base.unionByName(twins)
+  }
 
   /** Flagship query on /root/testdata/sf0.001: polylabel over the reference
     * fixtures joined (PIP) against synthetic points — exercises the kernel
@@ -196,28 +227,21 @@ object SparkEntry {
     // distance >= 16) with planted 1/2/3-bit perturbations at closed-form
     // positions. The operator-on-real-pixels path is spec-covered against
     // a brute-force all-pairs oracle (PipelineOpsSpec).
-    "q_phash_neardup" -> ((s, _) => {
-      val ids = s.range(240)
-        .withColumn("g", col("id") % 60)
-        .withColumn("v", expr("shiftleft(g, 1) | (bit_count(g) % 2)"))
-        .withColumn("phash", col("v") * lit(72340172838076673L)) // x 0x0101..01: v in every byte
-      val base = ids.select(
-        concat(lit("img-"), lpad(col("id").cast("string"), 8, "0")).as("image_id"),
-        col("phash"))
-      val twins = ids.where(col("id") % 4 =!= 0)
-        .withColumn("p1", (col("id") * 7) % 61)
-        .withColumn("p2", (col("p1") + 1 + col("id") % 31) % 61)
-        .withColumn("p3", (col("p2") + 1 + (col("id") * 3) % 29) % 61)
-        .withColumn("mask",
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(p1 AS INT))")
-            .bitwiseOR(when(col("id") % 4 >= 2,
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(p2 AS INT))")).otherwise(0L))
-            .bitwiseOR(when(col("id") % 4 >= 3,
-              expr("shiftleft(CAST(1 AS BIGINT), CAST(p3 AS INT))")).otherwise(0L)))
-        .select(concat(lit("prt-"), lpad(col("id").cast("string"), 8, "0")).as("image_id"),
-          col("phash").bitwiseXOR(col("mask")).as("phash"))
-      Dedup.phashNearDupPairs(base.unionByName(twins), t = 3)
-        .orderBy("id_a", "id_b")
+    "q_phash_neardup" -> ((s, _) =>
+      Dedup.phashNearDupPairs(syntheticPhashTable(s), t = 3)
+        .orderBy("id_a", "id_b")),
+
+    // dedup cluster ASSIGNMENT: near-dup pairs are edges; every image in
+    // a pair gets its transitive cluster's min id (connected components
+    // via large-star/small-star — the step after pair generation in a
+    // web-scale dedup pipeline). Oracle: recursive-CTE label propagation
+    // over the same closed-form pair set.
+    "q_cc_clusters" -> ((s, _) => {
+      val pairs = Dedup.phashNearDupPairs(syntheticPhashTable(s), t = 3)
+      val out = Components.connectedComponents(pairs.select("id_a", "id_b"))
+        .orderBy("id")
+      graft.operators.Caching.release(pairs)
+      out
     }),
 
     // ---- training-pipeline: text analysis ------------------------------

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the cluster-
+  * assignment step a dedup pipeline runs AFTER the pair-producing
+  * operators ([[Dedup.minhashLshPairs]], [[Dedup.phashNearDupPairs]],
+  * [[Similarity.embeddingNearDupPairs]]): near-dup pairs are edges, and
+  * every document needs the id of its transitive duplicate cluster so
+  * one representative per cluster survives.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", SoCC'14; public). Each phase is a partial-agg `min` per
+  * node plus an equi-join — no windows, no collect — and the edge set
+  * converges to a star forest rooted at each component's minimum id in
+  * O(log n) iterations (vs O(diameter) for naive label propagation, which
+  * a 10^6-node duplicate chain would turn into 10^6 shuffles).
+  *
+  * SCALE SHAPE: the per-node min is a map-side-combinable aggregate, so a
+  * web-scale hub (one document near-duplicating millions) costs one
+  * partial-agg cell per partition, not a single-reducer group; the join
+  * back to neighbours is an AQE-skew-splittable equi-join. Ids are any
+  * orderable type — string doc_ids work directly (min = lexicographic),
+  * avoiding a dense-id remap shuffle over the corpus.
+  *
+  * Iteration state is truncated with the engine's eager-localCheckpoint
+  * discipline (attr re-alias + eager checkpoint + ownership-tracked
+  * release; see SpatialJoins for why each piece is load-bearing).
+  */
+object Components {
+
+  /** Assign each node appearing in `edges` its component id (the minimum
+    * node id in the component). `edges`' first two columns are the
+    * endpoints (any common orderable type); self-loops are dropped.
+    * Returns (id, component). Nodes with no surviving edge (only
+    * self-loops) do not appear — union identity rows for the full corpus
+    * if every document needs a row.
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    var e = truncated(
+      edges.select(col(ca).as("u"), col(cb).as("v"))
+        .where(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .distinct())
+    // (edge count, order-free xor checksum): equal signatures across a
+    // full large+small iteration mean the edge set reached the star-
+    // forest fixpoint (both phases are deterministic set maps; a changed
+    // set with an equal signature needs an xxhash64 xor collision)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(e)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val next = truncated(smallStar(largeStar(e)))
+      val nextSig = signature(next)
+      Caching.release(e)
+      e = next
+      converged = nextSig == sig
+      sig = nextSig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          "(raise maxIters; large-star/small-star needs O(log n) rounds)")
+    // star forest, canonical (root, child) with root = component min:
+    // children plus one identity row per root
+    val out = e.select(col("v").as("id"), col("u").as("component"))
+      .unionByName(e.select(col("u").as("id"), col("u").as("component")))
+      .distinct()
+    val result = Caching.materializeAndRelease(out)
+    Caching.release(e)
+    result
+  }
+
+  /** Large-star: for every node u, connect each strictly-larger
+    * neighbour v to m(u) = min(neighbours(u) ∪ {u}). Emitted edges are
+    * canonical (m < v) because m <= u < v.
+    */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
+    val nb = e.select(col("u"), col("v"))
+      .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nb.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nb.join(mins, "u").where(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+      .distinct()
+  }
+
+  /** Small-star: group canonical edges by their LARGER endpoint b with
+    * smaller neighbours S; connect b and every node of S \ {m} to
+    * m = min(S). m < every emitted partner, so edges stay canonical.
+    */
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("v").agg(min("u").as("m"))
+    e.join(mins, "v").where(col("u") =!= col("m"))
+      .select(col("m").as("u"), col("u").as("v"))
+      .unionByName(mins.select(col("m").as("u"), col("v")))
+      .distinct()
+  }
+
+  private def truncated(df: DataFrame): DataFrame = {
+    val fresh = df.select(df.columns.toSeq.map(c => col(c).as(c)): _*)
+    Caching.own(fresh.localCheckpoint(eager = true))
+  }
+}
