@@ -393,6 +393,25 @@ object OracleSql {
         |FROM documents, range(1, 65) k
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // deterministic splitter: (id mod 1e6) * 2654435761 mod 1e6 — the
+    // constant is coprime to 1e6, so the map is a bijection on [0, 1e6)
+    // and `< ppm` keeps the exact fraction; pure integer arithmetic
+    // mirrors Spark bit-exactly
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 1000000) * 2654435761) % 1000000 <
+        |      CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 600000
+        |                WHEN 'de' THEN 100000 ELSE 50000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_quota" ->
+      """SELECT doc_id, lang, rank FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ((doc_id % 1000000) * 2654435761) % 1000000, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 20 ORDER BY doc_id""".stripMargin,
+
     "q_embed_topk" ->
       s"""WITH $quantCte,
          |dots AS (

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.GraftFunctions
 import graft.functions.GraftFunctions._
-import graft.operators.{Components, Dedup, Similarity, SpatialJoins, TextOps, Tiling}
+import graft.operators.{Components, Dedup, Sampling, Similarity, SpatialJoins, TextOps, Tiling}
 import graft.sources.GeoTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -255,6 +255,21 @@ object SparkEntry {
       g(s) // text_fingerprint is a registered graft expression
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")
     }),
+
+    // ---- training-pipeline: stratified sampling ------------------------
+    // rate-based: a pure map-stage filter (scan-speed at 100 TB) keeping
+    // exact ppm fractions per language via the deterministic splitter
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 250000L, "zh" -> 600000L, "de" -> 100000L), defaultPpm = 50000L)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // exact-count: n smallest splitter values per stratum, id tie-break
+    "q_sample_quota" -> ((s, dir) =>
+      Sampling.stratifiedQuota(t(s, dir, "documents"), "doc_id", "lang", 20)
+        .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
+        .orderBy("doc_id")),
 
     // ---- training-pipeline: similarity search --------------------------
     "q_embed_topk" -> ((s, dir) =>
