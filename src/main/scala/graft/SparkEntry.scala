@@ -256,6 +256,12 @@ object SparkEntry {
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // near-dup cluster assignment end to end: minhash pairs (compact
+    // (rep, member) shape) -> connected components -> every document's
+    // cluster id, singletons included
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterAssign(t(s, dir, "documents"), 16, 4, 1, 2).orderBy("id")),
+
     // ---- training-pipeline: stratified sampling ------------------------
     // rate-based: a pure map-stage filter (scan-speed at 100 TB) keeping
     // exact ppm fractions per language via the deterministic splitter

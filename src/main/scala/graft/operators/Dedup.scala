@@ -255,6 +255,32 @@ object Dedup {
     (Caching.materializeAndRelease(out, members, sh), cand)
   }
 
+  /** End-to-end near-dup cluster assignment: every document in `docs`
+    * gets the min doc_id of its transitive near-duplicate cluster (its
+    * own id when it has none) — the form a dedup pipeline actually
+    * consumes (keep rows where id == component, or sample per cluster).
+    *
+    * Composes the compact (rep, member) pair shape — linear in
+    * exact-duplicate cluster size — with large-star/small-star connected
+    * components. The compact edges yield the SAME components as the
+    * all-pairs expansion: rep-member edges connect exactly the nodes the
+    * within-cluster pairs would, and rep-rep edges carry the cross-
+    * cluster links, so transitive closure is unchanged.
+    */
+  def clusterAssign(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+                    num: Int, den: Int): DataFrame = {
+    val pairs = minhashLshPairs(docs, numHashes, rowsPerBand, num, den,
+      expandWithin = false)
+    val cc = Components.connectedComponents(pairs.select("doc_a", "doc_b"))
+    val out = docs.select(col("doc_id").as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    val result = Caching.materializeAndRelease(out)
+    Caching.release(cc)
+    Caching.release(pairs)
+    result
+  }
+
   /** 64-bit SimHash over token hashes: bit b is the sign of
     * sum(+/-1 per token occurrence by bit b of the token hash). Two
     * independent 32-bit multiplicative hashes supply bits 0..31 and

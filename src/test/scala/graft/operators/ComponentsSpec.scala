@@ -79,6 +79,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("clusterAssign: compact (rep, member) edges give the same components as all-pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val assigned = Dedup.clusterAssign(docs, 16, 4, 1, 2)
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caching.release(assigned)
+    // truth: CC over the EXPANDED pair set + identity for singletons
+    val pairs = Dedup.minhashLshPairs(docs, 16, 4, 1, 2)
+    val edges = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Caching.release(pairs)
+    val cc = ufComponents(edges)
+    val all = docs.select("doc_id").collect().map(_.getLong(0))
+    assert(got === all.map(id => id -> cc.getOrElse(id, id)).toMap)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("composes with phash near-dup pairs: clusters = planted groups") {
     // tiny closed-form phash table: two planted groups of 3 + a singleton
     // groups must sit >= 4 bits apart: single-bit values like 1L<<40 are
