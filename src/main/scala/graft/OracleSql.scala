@@ -326,6 +326,22 @@ object OracleSql {
          |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // decontamination: sh carries every document's distinct shingles;
+    // split by source via a join back to documents
+    "q_contamination" ->
+      s"""WITH $shinglesCte,
+         |shs AS (
+         |  SELECT s.doc_id, s.shingle, d.source
+         |  FROM sh s JOIN documents d USING (doc_id)),
+         |ev AS (SELECT doc_id, shingle FROM shs WHERE source = 'src0'),
+         |tr AS (SELECT DISTINCT shingle FROM shs WHERE source <> 'src0'),
+         |tot AS (SELECT doc_id, count(*) AS total FROM ev GROUP BY doc_id),
+         |mt AS (SELECT e.doc_id, count(*) AS matched
+         |       FROM ev e JOIN tr USING (shingle) GROUP BY e.doc_id)
+         |SELECT tot.doc_id, coalesce(mt.matched, 0) AS matched, tot.total
+         |FROM tot LEFT JOIN mt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // the same minhash pair derivation, closed into clusters by a
     // recursive-CTE label propagation; documents in no pair keep their
     // own id (LEFT JOIN + coalesce)

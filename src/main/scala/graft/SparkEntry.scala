@@ -256,6 +256,14 @@ object SparkEntry {
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")
     }),
 
+    // decontamination: per src0 (eval) document, its distinct 3-gram
+    // shingles found anywhere in the rest of the corpus (train)
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.contamination(docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0")).orderBy("doc_id")
+    }),
+
     // near-dup cluster assignment end to end: minhash pairs (compact
     // (rep, member) shape) -> connected components -> every document's
     // cluster id, singletons included

@@ -137,4 +137,27 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.functions.GraftFunctions.text_fingerprint(col("text")).as("fp"))
+
+  /** Train/eval contamination (decontamination pass): per eval document,
+    * how many of its distinct word-3-gram shingles appear ANYWHERE in the
+    * training corpus — (doc_id, matched, total), integer-exact. Callers
+    * threshold matched/total to drop leaked eval rows.
+    *
+    * SCALE SHAPE: the train side collapses to DISTINCT shingles before
+    * the join (one partial-agg exchange — a shingle appearing 10^9 times
+    * in a web corpus becomes one row), the match join is an equi-join on
+    * the shingle key (AQE-skew-splittable for stop-word-like shingles),
+    * and both counts are partial+final aggregates. Eval docs with < 3
+    * tokens have no shingles and no row, mirroring the shingle contract.
+    */
+  def contamination(evalDocs: DataFrame, trainDocs: DataFrame): DataFrame = {
+    val evalSh = shingles3(evalDocs).select("doc_id", "shingle")
+    val trainSh = shingles3(trainDocs).select("shingle").distinct()
+    val total = evalSh.groupBy("doc_id").agg(count(lit(1)).as("total"))
+    val matched = evalSh.join(trainSh, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("matched"))
+    total.join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("matched"), lit(0L)).as("matched"),
+        col("total"))
+  }
 }

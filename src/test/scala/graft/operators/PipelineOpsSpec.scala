@@ -324,4 +324,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_chars") >= r.getAs[Long]("n_tokens") * 2 - 1)
     }
   }
+
+  test("contamination == brute-force shingle containment; leaked eval doc reads total/total") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d e"), (2L, "x y z w")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val eval = Seq(
+      (10L, "a b c d e"), // byte-identical to train doc 1: fully contaminated
+      (11L, "a b c q r s"), // shares exactly one shingle (a b c)
+      (12L, "p q"), // < 3 tokens: no shingles, no row
+      (13L, "no overlap here at all")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val got = TextOps.contamination(eval, train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(10L -> ((3L, 3L)), 11L -> ((1L, 4L)), 13L -> ((0L, 3L))))
+  }
 }
