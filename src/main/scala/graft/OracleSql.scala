@@ -326,6 +326,18 @@ object OracleSql {
          |WHERE inter * 2 >= (sa.n + sb.n - inter) * 1
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // streaming exact-dedup: one row per distinct text, projected to
+    // key-derived columns (same fingerprint expression as q_fingerprint,
+    // grouped by the text itself)
+    "q_stream_dedup" ->
+      """WITH dt AS (SELECT DISTINCT text FROM documents)
+        |SELECT CAST(sum(CAST(ascii(substr(text, CAST(k.range AS INT), 1)) AS BIGINT)
+        |         * ((k.range * 2654435761) % 65536)) % 1000000007 AS BIGINT) AS fp,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM dt, range(1, 65) k
+        |GROUP BY text
+        |ORDER BY fp, n_chars""".stripMargin,
+
     // decontamination: sh carries every document's distinct shingles;
     // split by source via a join back to documents
     "q_contamination" ->

@@ -530,6 +530,42 @@ object SparkEntry {
       s.read.parquet(outDir).orderBy("bucket", "event_type")
     }),
 
+    // ---- E17 streaming exact-dedup: stateful dropDuplicates --------------
+    // Which physical row survives a duplicate key is micro-batch-order-
+    // dependent, so the output projects key-DERIVED columns only
+    // (fingerprint + length of the text): deterministic, and the oracle
+    // is a plain DISTINCT-text aggregate.
+    "q_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      g(s)
+      val schema = t(s, dir, "documents").schema
+      // the table is symlinked TWICE: the corpus streams through in two
+      // files of identical rows, so the dedup state must drop the entire
+      // second file — without planted duplicates (the sf tables carry
+      // none) the query would pass even if dropDuplicates were a no-op
+      val src = java.nio.file.Paths.get(s"$dir/documents.parquet").toAbsolutePath
+      val d = java.nio.file.Paths.get(tempDir("graft_stream_dedup_"))
+      for (name <- Seq("a", "b")) {
+        if (java.nio.file.Files.isDirectory(src)) {
+          // flat prefixed links: the file-stream source does not recurse
+          java.nio.file.Files.list(src)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .forEach { f =>
+              java.nio.file.Files.createSymbolicLink(
+                d.resolve(s"$name-${f.getFileName}"), f)
+            }
+        } else java.nio.file.Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+      }
+      val stream = s.readStream.schema(schema).parquet(d.toString)
+      val dd = graft.streaming.Streaming.dedupByKey(stream.select(col("text")), "text")
+        .select(graft.functions.GraftFunctions.text_fingerprint(col("text")).as("fp"),
+          length(col("text")).cast("long").as("n_chars"))
+      val q = dd.writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_stream_dedup").orderBy("fp", "n_chars")
+    }),
+
     // ---- cross-modal caption dedup (captionJoin driver coverage) ---------
     // Every 7th media row's caption is REPLACED by the text of document
     // (3*id mod |documents|) — a closed-form overlap both engines can

@@ -41,6 +41,17 @@ object Streaming {
   final case class UserState(n: Long, total: Double)
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+  /** Streaming exact deduplication: keep the first-seen row per key via
+    * the engine's stateful dropDuplicates (state = one entry per distinct
+    * key; at web scale callers bound it with
+    * `dropDuplicatesWithinWatermark`). WHICH physical row survives a key
+    * is micro-batch-order-dependent, so deterministic consumers must
+    * project key-derived columns only — q_stream_dedup projects
+    * (fingerprint, length) of the text key.
+    */
+  def dedupByKey(stream: DataFrame, key: String): DataFrame =
+    stream.dropDuplicates(key)
+
   /** Stateful running per-user aggregate (mapGroupsWithState): the custom-
     * state shape kNN/tiling pipelines would use for incremental ingest.
     */
