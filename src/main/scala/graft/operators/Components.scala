@@ -84,7 +84,7 @@ object Components {
     * neighbour v to m(u) = min(neighbours(u) ∪ {u}). Emitted edges are
     * canonical (m < v) because m <= u < v.
     */
-  private[operators] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val nb = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
     val mins = nb.groupBy("u").agg(min("v").as("mv"))
@@ -98,7 +98,7 @@ object Components {
     * smaller neighbours S; connect b and every node of S \ {m} to
     * m = min(S). m < every emitted partner, so edges stay canonical.
     */
-  private[operators] def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy("v").agg(min("u").as("m"))
     e.join(mins, "v").where(col("u") =!= col("m"))
       .select(col("m").as("u"), col("u").as("v"))

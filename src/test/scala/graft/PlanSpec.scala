@@ -140,4 +140,28 @@ class PlanSpec extends AnyFunSuite {
       pts, lab, r = 1, prevR = 0, first = true, broadcastLabels = false))
     assert(!sym.contains("CartesianProduct"), s"symmetric mode crossed:\n$sym")
   }
+
+  test("CC phases: partial-agg min + equi-join, never a cross join") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("u", "v")
+    for (phase <- Seq(graft.operators.Components.largeStar(e),
+                      graft.operators.Components.smallStar(e))) {
+      phase.count()
+      val plan = planOf(phase)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"CC phase crossed:\n$plan")
+      assert(plan.contains("partial_min") || plan.contains("partial min") ||
+        plan.contains("HashAggregate"), s"min not partial-agg'd:\n$plan")
+    }
+  }
+
+  test("contamination: equi-join on the shingle key, never a cross join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = graft.operators.TextOps.contamination(
+      docs.where(col("source") === "src0"), docs.where(col("source") =!= "src0"))
+    df.count()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"contamination crossed:\n$plan")
+  }
 }
