@@ -582,6 +582,72 @@ object OracleSql {
          |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    // k-means-trained IVF: two unrolled Lloyd iterations (assign by
+    // exact-integer L2 argmin with (d2, cid) tie-break = ivf_nearest;
+    // centroid component = floor(mean), exact in a double at these
+    // magnitudes; lists that lose every member keep their previous
+    // centroid via the LEFT JOIN + coalesce), then the same probe /
+    // candidate / re-rank tail as q_embed_ivf against the trained book
+    "q_embed_ivf_kmeans" ->
+      s"""WITH $quantCte,
+         |c0 AS (SELECT vec_id AS cid, i, q FROM qv WHERE vec_id < 16),
+         |dst1 AS (
+         |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+         |  FROM qv v JOIN c0 c ON v.i = c.i GROUP BY 1, 2),
+         |asg1 AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk
+         |  FROM dst1),
+         |l1 AS (SELECT vec_id, cid AS list FROM asg1 WHERE rnk = 1),
+         |s1 AS (
+         |  SELECT l.list AS cid, v.i,
+         |         CAST(floor(sum(v.q) * 1.0 / count(*)) AS BIGINT) AS q
+         |  FROM l1 l JOIN qv v USING (vec_id) GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT p.cid, p.i, coalesce(s.q, p.q) AS q
+         |  FROM c0 p LEFT JOIN s1 s ON s.cid = p.cid AND s.i = p.i),
+         |dst2 AS (
+         |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+         |  FROM qv v JOIN c1 c ON v.i = c.i GROUP BY 1, 2),
+         |asg2 AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk
+         |  FROM dst2),
+         |l2 AS (SELECT vec_id, cid AS list FROM asg2 WHERE rnk = 1),
+         |s2 AS (
+         |  SELECT l.list AS cid, v.i,
+         |         CAST(floor(sum(v.q) * 1.0 / count(*)) AS BIGINT) AS q
+         |  FROM l2 l JOIN qv v USING (vec_id) GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT p.cid, p.i, coalesce(s.q, p.q) AS q
+         |  FROM c1 p LEFT JOIN s2 s ON s.cid = p.cid AND s.i = p.i),
+         |dstf AS (
+         |  SELECT v.vec_id, c.cid, sum((v.q - c.q) * (v.q - c.q)) AS d2
+         |  FROM qv v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+         |asgf AS (
+         |  SELECT vec_id, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rnk
+         |  FROM dstf),
+         |dlist AS (SELECT vec_id, cid AS list FROM asgf WHERE rnk = 1),
+         |qlist AS (
+         |  SELECT vec_id AS query_id, cid AS list
+         |  FROM asgf WHERE vec_id < 10 AND rnk <= 2),
+         |cand AS (
+         |  SELECT ql.query_id, d.vec_id
+         |  FROM qlist ql JOIN dlist d ON ql.list = d.list AND ql.query_id <> d.vec_id),
+         |dots AS (
+         |  SELECT c.query_id, c.vec_id, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+         |  FROM cand c
+         |  JOIN qv qa ON qa.vec_id = c.query_id
+         |  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.i = qa.i
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, vec_id, dot,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+         |  FROM dots)
+         |SELECT query_id, vec_id, dot, rank FROM rk WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q_embed_neardup" ->
       s"""WITH $quantCte,
          |$lshCte,

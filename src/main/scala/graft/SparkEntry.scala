@@ -315,6 +315,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF with a k-means-TRAINED codebook: two Lloyd iterations from the
+    // deterministic seed (integer centroids — training is deterministic,
+    // so the oracle unrolls the same two iterations in SQL)
+    "q_embed_ivf_kmeans" -> ((s, dir) => {
+      g(s)
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.ivfCodebookKMeans(emb, nLists = 16, iters = 2)
+      Similarity.annTopKIvf(emb, nQueries = 10, k = 3, codebook = Some(cb))
+        .orderBy("query_id", "rank")
+    }),
+
     "q_embed_neardup" -> ((s, dir) => {
       g(s)
       Similarity.nearDupPairs(t(s, dir, "embeddings"), tau2x10000 = 900)

@@ -160,7 +160,8 @@ object Similarity {
     * Output (query_id, vec_id, dot, rank), ties toward lower vec_id.
     */
   def annTopKIvf(embeddings: DataFrame, nQueries: Int, k: Int,
-                 nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+                 nLists: Int = 16, nProbe: Int = 2,
+                 codebook: Option[Seq[Long]] = None): DataFrame = {
     import graft.functions.GraftFunctions.ivf_nearest
     val qvec = embeddings
       .where(col("embedding").isNotNull && size(col("embedding")) > 0)
@@ -168,10 +169,17 @@ object Similarity {
         transform(col("embedding"),
           v => round(v.cast("double") * 1000.0, 0).cast("long")).as("qvec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val centRows = qvec.where(col("vec_id") < nLists).orderBy("vec_id").collect()
-    require(centRows.length == nLists,
-      s"IVF codebook needs vec_ids [0, $nLists) present with non-empty embeddings")
-    val centLit = typedLit(centRows.flatMap(_.getSeq[Long](1)).toSeq)
+    val centLit = codebook match {
+      case Some(cb) =>
+        require(cb.nonEmpty && cb.length % nLists == 0,
+          s"codebook length ${cb.length} not a multiple of nLists=$nLists")
+        typedLit(cb)
+      case None =>
+        val centRows = qvec.where(col("vec_id") < nLists).orderBy("vec_id").collect()
+        require(centRows.length == nLists,
+          s"IVF codebook needs vec_ids [0, $nLists) present with non-empty embeddings")
+        typedLit(centRows.flatMap(_.getSeq[Long](1)).toSeq)
+    }
     val data = qvec.select(col("vec_id"),
       ivf_nearest(col("qvec"), centLit, lit(nLists), lit(0)).as("list"))
     val queries = qvec.where(col("vec_id") < nQueries)
@@ -192,6 +200,50 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     Caching.materializeAndRelease(out, qvec)
+  }
+
+  /** Lloyd-refined IVF codebook: start from the deterministic seed (the
+    * `nLists` lowest vec_ids) and iterate assign → per-list centroid
+    * recompute. Centroids stay INTEGER (floor(mean) per component, exact
+    * because both the long sum and the count are exact in a double), so
+    * assignment stays exact-integer and the whole training is
+    * deterministic — which is what lets q_embed_ivf_kmeans carry a full
+    * SQL oracle, unrolled iteration by iteration.
+    *
+    * 100 TB shape per iteration: assignment is the same exchange-free
+    * `ivf_nearest` projection annTopKIvf uses; the centroid recompute is
+    * posexplode + groupBy(list, i) — map-side combine reduces every
+    * partition to at most nLists x dim cells before the exchange, and the
+    * collected result is bounded metadata (nLists x dim longs). Lists
+    * that lose every member keep their previous centroid.
+    */
+  def ivfCodebookKMeans(embeddings: DataFrame, nLists: Int = 16,
+                        iters: Int = 2): Seq[Long] = {
+    import graft.functions.GraftFunctions.ivf_nearest
+    val qvec = embeddings
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")).as("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedRows = qvec.where(col("vec_id") < nLists).orderBy("vec_id").collect()
+    require(seedRows.length == nLists,
+      s"IVF codebook needs vec_ids [0, $nLists) present with non-empty embeddings")
+    val dim = seedRows.head.getSeq[Long](1).length
+    var cents: Seq[Long] = seedRows.flatMap(_.getSeq[Long](1)).toSeq
+    for (_ <- 0 until iters) {
+      val sums = qvec.select(
+          ivf_nearest(col("qvec"), typedLit(cents), lit(nLists), lit(0)).as("list"),
+          posexplode(col("qvec")))
+        .groupBy("list", "pos")
+        .agg(floor(sum(col("col")) * lit(1.0) / count(lit(1))).cast("long").as("q"))
+        .collect()
+      val m = sums.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      cents = (0 until nLists).flatMap(l =>
+        (0 until dim).map(i => m.getOrElse((l, i), cents(l * dim + i))))
+    }
+    qvec.unpersist(blocking = false)
+    cents
   }
 
   /** Near-duplicate pairs: cosine >= tau via the integer

@@ -152,6 +152,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivf === brute)
   }
 
+  test("kmeans codebook: SSE never worse than the seed; probe-all still == brute") {
+    val nLists = 16
+    val vecs = embeddings.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(f => math.round(f.toDouble * 1000.0)).toArray }
+      .sortBy(_._1)
+    def sse(flat: Seq[Long]): Double = {
+      val dim = flat.length / nLists
+      val cents = flat.grouped(dim).map(_.toArray).toArray
+      vecs.map { case (_, q) =>
+        cents.map(c => q.zip(c).map { case (a, b) =>
+          val d = (a - b).toDouble; d * d }.sum).min
+      }.sum
+    }
+    val seed = vecs.take(nLists).flatMap(_._2).toSeq
+    val trained = Similarity.ivfCodebookKMeans(embeddings, nLists, iters = 2)
+    assert(trained.length === seed.length)
+    assert(sse(trained) <= sse(seed),
+      f"k-means worsened SSE: ${sse(trained)}%.0f > ${sse(seed)}%.0f")
+    // the trained codebook only changes WHICH lists exist — probing all of
+    // them must still reproduce the brute baseline bit-for-bit
+    val ivf = Similarity.annTopKIvf(embeddings, nQueries = 5, k = 3,
+        nLists = nLists, nProbe = nLists, codebook = Some(trained)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val brute = Similarity.bruteTopK(embeddings, nQueries = 5, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivf === brute)
+  }
+
   test("ivf_nearest ranks centroids by exact integer L2, ties toward lower id") {
     import graft.functions.GraftFunctions.ivf_nearest
     graft.GraftSession.install(spark)
