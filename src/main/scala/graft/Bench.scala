@@ -82,6 +82,12 @@ object BenchWorkloads {
         Similarity.annTopKIvf(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), nQueries = 50, k = 10)
       }),
+      ("dedup_clusters", -1L, () => {
+        // near-dup dedup end to end: minhash pairs (compact shape) ->
+        // connected components -> per-doc cluster assignment
+        Dedup.clusterAssign(
+          spark.read.parquet(s"$sfDir/documents.parquet"), 16, 4, 1, 2)
+      }),
       ("cell_agg", -1L, () => {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .withColumn("x", (col("l_orderkey") % 3600) / 10.0 - 180.0)
