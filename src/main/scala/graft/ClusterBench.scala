@@ -111,8 +111,10 @@ object ClusterBench {
     def sideLines(execs: Int) = lines
       .filter(_.contains(s""""executors":$execs,"""))
       .filter(_.contains(s""""scale":${scaleStr.toDouble},"""))
+    // workload keys may carry digits (shingles3-style names): [a-z0-9_]
+    // — MetaKeys filters the numeric label fields
     def parse(l: String): Map[String, Double] =
-      """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
+      """"([a-z][a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(l)
         .filterNot(m => MetaKeys.contains(m.group(1)))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     // per-workload MIN across every recorded run per side: interference

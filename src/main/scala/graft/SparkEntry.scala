@@ -595,8 +595,16 @@ object SparkEntry {
           when(col("mid") % 7 === 0, (col("mid") * 3) % nDocs))
         .join(docs.select(col("doc_id").as("want_doc"),
           col("text").as("dtext")), Seq("want_doc"), "left")
+        // planted rows take the document text EVEN WHEN NULL (a want_doc
+        // matching no doc_id leaves the caption NULL — exactly what the
+        // oracle's scalar subquery produces); the former coalesce fallback
+        // silently reverted such rows to the synthetic caption and only
+        // agreed with the oracle while no document text happened to equal
+        // a synthetic caption. Non-planted rows keep their synthetic
+        // caption, as in the oracle's ELSE branch.
         .select(col("media_id"), col("kind"), col("bytes"),
-          coalesce(col("dtext"), col("caption")).as("caption"), col("meta"))
+          when(col("mid") % 7 === 0, col("dtext"))
+            .otherwise(col("caption")).as("caption"), col("meta"))
         .as[graft.sources.Multimodal.MediaRow]
       graft.sources.Multimodal.captionJoin(planted, docs)
         .select(col("media_id"),

@@ -59,7 +59,13 @@ object Caching {
     * unpersists them.
     */
   def adopt(result: DataFrame, parts: Seq[DataFrame]): DataFrame = {
-    adoptees.put(result, Adoption(leafRddIds(result), parts))
+    val sig = leafRddIds(result)
+    if (sig.isEmpty)
+      // derived-frame release can't plan-match an empty signature — only
+      // an identity release of this exact frame will find the adoption
+      System.err.println("[graft] WARNING: adopting a result with no " +
+        "LogicalRDD leaves; release() must be called on this exact frame")
+    adoptees.put(result, Adoption(sig, parts))
     result
   }
 
@@ -84,20 +90,29 @@ object Caching {
     */
   def release(df: DataFrame): Unit = {
     df.unpersist(blocking = false)
-    // exact-identity adoption hit, then plan-resolved: any adoption whose
-    // (non-empty) leaf signature is contained in this frame's leaves is a
-    // result this frame derives from — release its parts too
+    // exact-identity adoption hit, then plan-resolved: an adoption
+    // matches when its (non-empty) leaf signature EQUALS this frame's
+    // leaves — a narrow transform keeps exactly its parent's leaves, so
+    // derived frames (select/orderBy over the result) still match. A
+    // PROPER-subset match additionally requires that no other adoption's
+    // signature intersects this frame's leaves: a frame built by feeding
+    // one adopted result into a second operator contains the first's
+    // leaves as a subset, and a bare subset rule would release the first
+    // result's still-live part caches when the second is released.
     Option(adoptees.remove(df)).foreach(_.parts.foreach(_.unpersist(blocking = false)))
     val ids = leafRddIds(df)
     if (ids.nonEmpty) adoptees.synchronized {
-      val it = adoptees.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
+      import scala.jdk.CollectionConverters._
+      val entries = adoptees.entrySet().asScala.toList
+      val matched = entries.filter { e =>
         val a = e.getValue
-        if (a.sig.nonEmpty && a.sig.subsetOf(ids)) {
-          a.parts.foreach(_.unpersist(blocking = false))
-          it.remove()
-        }
+        a.sig.nonEmpty && (a.sig == ids ||
+          (a.sig.subsetOf(ids) && entries.forall(o =>
+            (o eq e) || o.getValue.sig.intersect(ids).isEmpty)))
+      }
+      matched.foreach { e =>
+        e.getValue.parts.foreach(_.unpersist(blocking = false))
+        adoptees.remove(e.getKey)
       }
     }
     df.queryExecution.logical.collectLeaves().foreach {

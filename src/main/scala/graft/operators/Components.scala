@@ -40,44 +40,55 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val Array(ca, cb) = edges.columns.take(2)
-    var e = truncated(
+    // (edge count, order-free xor checksum) per iterate, OBSERVED during
+    // the iterate's own eager-checkpoint job (CollectMetrics accumulators
+    // fill while the checkpoint materializes) — the former separate
+    // signature aggregate cost one extra full-scan job per iteration,
+    // part of the per-iteration fixed cost that made dedup_clusters the
+    // most expensive bench workload. Equal signatures across a full
+    // large+small iteration mean the edge set reached the star-forest
+    // fixpoint (both phases are deterministic set maps); because a hash
+    // collision would otherwise silently accept a WRONG fixpoint, the
+    // signature match is confirmed by one exact anti-join check before
+    // the loop exits — the exact check runs once (at the fixpoint), not
+    // per iteration.
+    var (e, sig) = truncatedSigned(
       edges.select(col(ca).as("u"), col(cb).as("v"))
         .where(col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .distinct())
-    // (edge count, order-free xor checksum): equal signatures across a
-    // full large+small iteration mean the edge set reached the star-
-    // forest fixpoint (both phases are deterministic set maps; a changed
-    // set with an equal signature needs an xxhash64 xor collision)
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var sig = signature(e)
     var it = 0
     var converged = false
-    while (!converged && it < maxIters) {
-      val next = truncated(smallStar(largeStar(e)))
-      val nextSig = signature(next)
+    try {
+      while (!converged && it < maxIters) {
+        val (next, nextSig) = truncatedSigned(smallStar(largeStar(e)))
+        if (nextSig == sig) {
+          // exact confirmation: counts are equal (part of the signature),
+          // so next \ e empty <=> the sets are equal (both are distinct)
+          converged = next.join(e,
+            next("u") === e("u") && next("v") === e("v"), "left_anti").isEmpty
+        }
+        Caching.release(e)
+        e = next
+        sig = nextSig
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters iterations " +
+            "(raise maxIters; large-star/small-star needs O(log n) rounds)")
+      // star forest, canonical (root, child) with root = component min:
+      // children plus one identity row per root
+      val out = e.select(col("v").as("id"), col("u").as("component"))
+        .unionByName(e.select(col("u").as("id"), col("u").as("component")))
+        .distinct()
+      Caching.materializeAndRelease(out)
+    } finally {
+      // covers the non-convergence throw (and any mid-iteration failure):
+      // without it the final checkpointed edge frame leaks for the session
       Caching.release(e)
-      e = next
-      converged = nextSig == sig
-      sig = nextSig
-      it += 1
     }
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters iterations " +
-          "(raise maxIters; large-star/small-star needs O(log n) rounds)")
-    // star forest, canonical (root, child) with root = component min:
-    // children plus one identity row per root
-    val out = e.select(col("v").as("id"), col("u").as("component"))
-      .unionByName(e.select(col("u").as("id"), col("u").as("component")))
-      .distinct()
-    val result = Caching.materializeAndRelease(out)
-    Caching.release(e)
-    result
   }
 
   /** Large-star: for every node u, connect each strictly-larger
@@ -106,8 +117,24 @@ object Components {
       .distinct()
   }
 
-  private def truncated(df: DataFrame): DataFrame = {
-    val fresh = df.select(df.columns.toSeq.map(c => col(c).as(c)): _*)
-    Caching.own(fresh.localCheckpoint(eager = true))
+  /** Eager lineage truncation that also returns the edge set's (count,
+    * bit_xor(xxhash64)) signature, observed for free during the checkpoint
+    * job. The metric is read from the exact Dataset whose localCheckpoint
+    * executed; a missing metric degrades to a one-job aggregate rather
+    * than a wrong signature.
+    */
+  private def truncatedSigned(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val fresh = df
+      .observe("graft_cc_sig", count(lit(1)).as("n"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("x"))
+      .select(df.columns.toSeq.map(c => col(c).as(c)): _*)
+    val ck = Caching.own(fresh.localCheckpoint(eager = true))
+    val sig = fresh.queryExecution.observedMetrics.get("graft_cc_sig")
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .getOrElse {
+        val r = ck.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+    (ck, sig)
   }
 }

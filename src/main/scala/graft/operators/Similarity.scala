@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions.lsh_bucket
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -38,6 +38,18 @@ object Similarity {
     * (the former per-component join + groupBy shuffled 64x the pair
     * count); the only exchange left is the slim window rank.
     */
+  /** In-row exact integer dot over two quantized arrays. `zip_with` pads
+    * the shorter array with nulls, so the per-element product is wrapped
+    * in coalesce(_, 0): ragged lengths then contribute the partial dot
+    * over the SHARED components — exactly what the relational inner join
+    * on the component index (and the SQL oracles' join-on-i) computes.
+    * For equal-length arrays (the normal case) every product is non-null
+    * and the expression is bit-identical to the unguarded form.
+    */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
   def bruteTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     // null/empty embeddings produce no pair — mirroring the relational
     // per-component inner join, where they contribute no (i, q) rows
@@ -50,9 +62,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("qvec").as("qa"))
     val dots = qvec.crossJoin(broadcast(queries))
       .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("qa"), col("qvec"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+      .select(col("query_id"), col("vec_id"), dotCol(col("qa"), col("qvec")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     Caching.materializeAndRelease(out)
@@ -105,9 +115,22 @@ object Similarity {
   def annTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               planes: Int = 8, dim: Int = 64,
               multiProbe: Boolean = false): DataFrame = {
-    val buckets = lshBuckets(embeddings, planes, dim)
+    // one cached quantized-ARRAY frame feeds both the bucket build and the
+    // re-rank: buckets are a cheap codegen'd projection over it, and the
+    // re-rank dot is the in-row aggregate(zip_with) bruteTopK/annTopKIvf
+    // already use — 1 row per candidate pair. The former shape joined the
+    // per-component (vec_id, i) stream twice and groupBy'd the products,
+    // shuffling dim (=64) rows per candidate pair; integer dots are
+    // order-independent, so the outputs are bit-identical.
+    val qvec = embeddings
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")).as("qvec"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val q = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = qvec.select(col("vec_id"),
+        lsh_bucket(col("qvec"), lit(planes), lit(dim)).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val queries0 = buckets.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
     val queries =
@@ -125,14 +148,13 @@ object Similarity {
       .where(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id")
     val dots = candPairs
-      .join(q.select(col("vec_id").as("query_id"), col("i"), col("q").as("qa")),
+      .join(qvec.select(col("vec_id").as("query_id"), col("qvec").as("qa")),
         Seq("query_id"))
-      .join(q.select(col("vec_id"), col("i"), col("q").as("qb")), Seq("vec_id", "i"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
+      .join(qvec.select(col("vec_id"), col("qvec").as("qb")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), dotCol(col("qa"), col("qb")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-    Caching.materializeAndRelease(out, buckets, q)
+    Caching.materializeAndRelease(out, buckets, qvec)
   }
 
   /** IVF-Flat ANN top-k — the second scale path beside sign-LSH.
@@ -194,9 +216,7 @@ object Similarity {
       .join(qvec.select(col("vec_id").as("query_id"), col("qvec").as("qa")),
         Seq("query_id"))
       .join(qvec.select(col("vec_id"), col("qvec").as("qb")), Seq("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+      .select(col("query_id"), col("vec_id"), dotCol(col("qa"), col("qb")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
     val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
     Caching.materializeAndRelease(out, qvec)

@@ -328,12 +328,24 @@ object SpatialJoins {
         (col("y") - col("ly")) * (col("y") - col("ly")))
       .select(candCols.map(col): _*)
 
-    var unresolved = truncated(points
+    // the input count rides the initial checkpoint job as an OBSERVED
+    // metric (CollectMetrics accumulators fill during the eager
+    // localCheckpoint's own materialization pass), so knowing the real
+    // point population costs ZERO extra jobs — the former shape spent one
+    // full checkpoint-sized count() inside round 1, the largest single
+    // item of the operator's per-run driver fixed cost (the measured
+    // residual that capped knn's 4v16 scaling efficiency once the payload
+    // wins landed). The fallback (metric absent — e.g. a Spark version
+    // that stops reporting observed metrics through checkpoint actions)
+    // is the old lazy count in resolvePass, so correctness never depends
+    // on the metric.
+    val (unresolved0, observedN) = truncatedCounting(points
       .select(col("point_id"), col("x"), col("y"))
       .withColumn("pcell", cell_of(col("x"), col("y"), lit(lvl0))))
-    // round 1 always runs — its own count() establishes the real number;
-    // an up-front count of the input would cost one full extra pass
-    var nLeft = Long.MaxValue
+    var unresolved = unresolved0
+    // observed 0 is treated as unknown: an actually-empty input then takes
+    // the old lazy-count path, which already handles it (one empty round)
+    var nLeft = observedN.filter(_ > 0).getOrElse(Long.MaxValue)
     // rounds since the unresolved chain was last checkpointed (see the
     // lazy-advancement note in resolvePass)
     var stackedDepth = 0
@@ -539,13 +551,17 @@ object SpatialJoins {
         .join(points.select(col("point_id").as("xy_id"), col("x"), col("y")),
           col("point_id") === col("xy_id"))
         .select("point_id", "x", "y", "poly_id", "d2", "dist", "rank")
-    // materialization barrier per part BEFORE the chains are released: a
-    // part is usually fully built by its own round's okIds consumption,
-    // but not guaranteed partition-by-partition, and a hole would
-    // recompute through the released checkpoints
-    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). Counting a cached part only
-    // fills missing partitions — no output-sized copy.
-    resolvedParts.foreach(_.count())
+    // materialization barrier BEFORE the chains are released: the parts
+    // are usually fully built by their own round's okIds consumption, but
+    // not guaranteed partition-by-partition, and a hole would recompute
+    // through the released checkpoints
+    // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND). ONE count over the slim union
+    // fills any missing partitions of every part in a single job — union
+    // cache substitution hits each directly-persisted branch (the r3
+    // measured property), so this reads cached buffers only; the former
+    // per-part foreach(count) paid one driver job launch per round, part
+    // of the per-run fixed cost the scaling target punishes.
+    slimUnion.count()
     // every truncated() frame was tracked at creation; the final
     // `unresolved` may be a LAZY filter over the last checkpoint (lazy
     // advancement), whose blocks are those of its tracked base
@@ -622,6 +638,24 @@ object SpatialJoins {
     // once the chains are released)
     val fresh = df.select(df.columns.toSeq.map(c => col(c).as(c)): _*)
     Caching.own(fresh.localCheckpoint(eager = true))
+  }
+
+  /** [[truncated]] that also returns the frame's row count, observed FOR
+    * FREE during the eager checkpoint's own materialization job (a
+    * CollectMetrics node's accumulators fill while the tasks run — no
+    * second pass). The metric is read from the exact Dataset whose
+    * `localCheckpoint` executed: reading it from any other wrapper's
+    * QueryExecution returns that plan's own (never-run, zero-valued)
+    * accumulators. Returns None when the metric is unavailable so callers
+    * keep a correctness-neutral fallback.
+    */
+  private def truncatedCounting(df: DataFrame): (DataFrame, Option[Long]) = {
+    val fresh = df.observe("graft_truncated_n", count(lit(1)).as("n"))
+      .select(df.columns.toSeq.map(c => col(c).as(c)): _*)
+    val ck = Caching.own(fresh.localCheckpoint(eager = true))
+    val n = fresh.queryExecution.observedMetrics.get("graft_truncated_n")
+      .map(_.getLong(0))
+    (ck, n)
   }
 
   /** Release the blocks behind a [[truncated]] frame. */

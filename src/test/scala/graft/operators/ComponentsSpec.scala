@@ -72,14 +72,20 @@ class ComponentsSpec extends AnyFunSuite {
   }
 
   test("no cached or checkpointed blocks leak past the returned result") {
+    // diff against pre-existing blocks: other suites sharing the session
+    // legitimately hold their own caches, and this assert owns only what
+    // THIS operator call creates
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Components.connectedComponents(
       (0L until 20L).map(i => (i, (i + 1) % 20)).toDF("a", "b"))
     result.count()
     Caching.release(result)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"connectedComponents leaked ${leaked.size} cached RDD(s)")
   }
 
   test("clusterAssign: compact (rep, member) edges give the same components as all-pairs") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val assigned = Dedup.clusterAssign(docs, 16, 4, 1, 2)
     val got = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -92,7 +98,8 @@ class ComponentsSpec extends AnyFunSuite {
     val cc = ufComponents(edges)
     val all = docs.select("doc_id").collect().map(_.getLong(0))
     assert(got === all.map(id => id -> cc.getOrElse(id, id)).toMap)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"clusterAssign path leaked ${leaked.size} cached RDD(s)")
   }
 
   test("composes with phash near-dup pairs: clusters = planted groups") {

@@ -8,12 +8,19 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Join correctness against brute-force oracles (SURVEY.md §5.2 item 3). */
-class SpatialJoinSpec extends AnyFunSuite {
+class SpatialJoinSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private lazy val polys = GeoTables.syntheticPolygons(spark, 25).toDF.cache()
   private lazy val points = GeoTables.syntheticPoints(spark, 2000).toDF.cache()
+
+  // drop the suite-level caches so suites sharing the session (e.g. the
+  // global leak tripwires in Bench) never see this suite's blocks
+  override def afterAll(): Unit = {
+    polys.unpersist(blocking = false)
+    points.unpersist(blocking = false)
+  }
 
   test("pipJoin == brute-force cross-join PIP at several levels") {
     val brute = points.crossJoin(polys)
@@ -79,16 +86,22 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
 
-    val got = SpatialJoins.knnJoin(points, labels, k, level = 8)
-      .select($"point_id", $"poly_id", $"rank")
+    // the operator contract: callers own the returned frame's (adopted)
+    // storage and MUST drop it with Caching.release — these tests also
+    // guard the ComponentsSpec/CachingSpec global leak asserts downstream
+    val gotDf = SpatialJoins.knnJoin(points, labels, k, level = 8)
+    val got = gotDf.select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    Caching.release(gotDf)
     assert(got === brute)
 
     // partitioned variant (no label broadcast): identical output
-    val gotPart = SpatialJoins.knnJoin(points, labels, k, level = 8,
+    val gotPartDf = SpatialJoins.knnJoin(points, labels, k, level = 8,
       broadcastLabels = false)
-      .select($"point_id", $"poly_id", $"rank")
+    val gotPart = gotPartDf.select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    Caching.release(gotPartDf)
+    labels.unpersist(blocking = false)
     assert(gotPart === brute)
   }
 
@@ -206,8 +219,10 @@ class SpatialJoinSpec extends AnyFunSuite {
       .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
     val got = SpatialJoins.knnJoin(points.limit(300), labels, 2, level = 10)
     val counts = got.groupBy("point_id").count().select("count").distinct().collect()
+    val nDistinct = got.select("point_id").distinct().count()
+    Caching.release(got)
     assert(counts.map(_.getLong(0)).toSet === Set(2L))
-    assert(got.select("point_id").distinct().count() === 300)
+    assert(nDistinct === 300)
   }
 
   test("AutoLevel (default level): pipJoin and knnJoin pick a level and stay exact") {
@@ -231,9 +246,11 @@ class SpatialJoinSpec extends AnyFunSuite {
       .where($"rank" <= 3)
       .select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
-    val gotK = SpatialJoins.knnJoin(points, labels, 3) // no level passed
-      .select($"point_id", $"poly_id", $"rank")
+    val gotKDf = SpatialJoins.knnJoin(points, labels, 3) // no level passed
+    val gotK = gotKDf.select($"point_id", $"poly_id", $"rank")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    Caching.release(gotKDf)
+    labels.unpersist(blocking = false)
     assert(gotK === bruteK)
   }
 
