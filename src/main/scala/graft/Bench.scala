@@ -68,10 +68,12 @@ object BenchWorkloads {
         graft.sources.IcebergLite.readTable(spark, dir.toString)
       }),
       ("minhash_dedup", -1L, () => {
-        Dedup.minhashLshPairs(
-          spark.read.parquet(s"$sfDir/documents.parquet"), 16, 4, 1, 2)
+        Dedup.minhashLshPairs(scaledDocs(spark, sfDir, scale), 16, 4, 1, 2)
       }),
       ("embed_topk", -1L, () => {
+        // the declared brute baseline stays at natural size: it is
+        // quadratic by definition, so replicating it would measure the
+        // baseline's O(N^2), not the engine's scale path
         Similarity.bruteTopK(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), nQueries = 50, k = 10)
       }),
@@ -80,13 +82,12 @@ object BenchWorkloads {
         // path (map-only list assignment + probed-list candidates) vs the
         // brute baseline directly above it in the artifact
         Similarity.annTopKIvf(
-          spark.read.parquet(s"$sfDir/embeddings.parquet"), nQueries = 50, k = 10)
+          scaledEmbeddings(spark, sfDir, scale), nQueries = 50, k = 10)
       }),
       ("dedup_clusters", -1L, () => {
         // near-dup dedup end to end: minhash pairs (compact shape) ->
         // connected components -> per-doc cluster assignment
-        Dedup.clusterAssign(
-          spark.read.parquet(s"$sfDir/documents.parquet"), 16, 4, 1, 2)
+        Dedup.clusterAssign(scaledDocs(spark, sfDir, scale), 16, 4, 1, 2)
       }),
       ("cell_agg", -1L, () => {
         spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -95,6 +96,41 @@ object BenchWorkloads {
           .withColumn("cell_id", cell_of(col("x"), col("y"), lit(12)))
           .groupBy("cell_id").agg(count(lit(1)).as("n"), avg("l_quantity").as("q"))
       }))
+  }
+
+  /** The documents table replicated `scale`x for the LLM-pipeline scaling
+    * campaigns: each copy appends a copy token to the text, so copies of
+    * one document are NEAR-duplicates (mostly-shared 3-gram shingles —
+    * the boilerplate-duplication shape a web corpus actually has) rather
+    * than exact ones, and doc_ids stay dense (`doc_id * rep + copy`).
+    * `scale <= 1` returns the plain table BYTE-IDENTICALLY, so the
+    * driver's fixed-scale Bench runs are untouched.
+    */
+  private def scaledDocs(spark: SparkSession, sfDir: String, scale: Double): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val rep = scale.toInt
+    if (rep <= 1) docs
+    else docs.crossJoin(spark.range(rep).select(col("id").as("copy")))
+      .select((col("doc_id") * rep + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" copy"), col("copy")).as("text"),
+        col("lang"), col("source"),
+        length(concat(col("text"), lit(" copy"), col("copy"))).cast("long").as("n_chars"))
+  }
+
+  /** The embeddings table replicated `scale`x: copies perturb each
+    * component by a per-copy epsilon (distinct quantized vectors, same
+    * neighbourhood structure), vec_ids stay dense (`vec_id * rep + copy`,
+    * which keeps the IVF codebook seed ids [0, 16) present).
+    */
+  private def scaledEmbeddings(spark: SparkSession, sfDir: String, scale: Double): DataFrame = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rep = scale.toInt
+    if (rep <= 1) e
+    else e.crossJoin(spark.range(rep).select(col("id").as("copy")))
+      .select((col("vec_id") * rep + col("copy")).as("vec_id"),
+        transform(col("embedding"),
+          v => v + (col("copy") % 16).cast("float") * lit(0.001f)).as("embedding"),
+        col("label"))
   }
 
   /** Force full evaluation, then release the workload's own result cache
@@ -246,7 +282,18 @@ object Bench {
   * }}}
   */
 object ScalingBench {
-  private val runsFile = java.nio.file.Paths.get("BENCH/scaling_runs.jsonl")
+  // SPARK_GRAFT_RUNS_FILE redirects a campaign to its own sample file
+  // (e.g. BENCH/scaling_runs_llm.jsonl for the LLM-workload campaign) so
+  // differently-shaped campaigns never mix in one report
+  private val runsFile = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_RUNS_FILE", "BENCH/scaling_runs.jsonl"))
+
+  // SPARK_GRAFT_HEADLINE overrides the measured workload set (default:
+  // the five geo workloads the campaign has tracked since round 2)
+  private def headlineSet: Set[String] = sys.env.get("SPARK_GRAFT_HEADLINE")
+    .map(_.split(",").map(_.trim).toSet)
+    .getOrElse(Set("polylabel_mixed", "pip_join", "knn_join", "tile_assign",
+      "pipeline"))
 
   def main(args: Array[String]): Unit = {
     args.headOption match {
@@ -259,8 +306,7 @@ object ScalingBench {
   private def measure(cores: Int): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scale = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toDouble
-    val headline = Set("polylabel_mixed", "pip_join", "knn_join", "tile_assign",
-      "pipeline")
+    val headline = headlineSet
     // shuffle partitions sized to the DATA (2 per scale unit, floor 128)
     // and held constant across both parallelism levels — tying them to
     // the core count makes local[8] spill on partitions 4x the size,
@@ -323,7 +369,7 @@ object ScalingBench {
     val t8 = keys.map(r8).sum
     val t32 = keys.map(r32).sum
     val out = new StringBuilder
-    out ++= s"\n## Scaling run (${java.time.LocalDate.now}) — sf0.1, scale=${sys.env.getOrElse("SPARK_GRAFT_SCALE", "8")}, N=$nLo vs 4N=$nHi, one JVM per parallelism, min over interleaved rounds\n\n"
+    out ++= s"\n## Scaling run (${java.time.LocalDate.now}) — sf0.1, scale=${sys.env.getOrElse("SPARK_GRAFT_SCALE", "8")}, N=$nLo vs 4N=$nHi, one JVM per parallelism, min over interleaved rounds (samples: ${runsFile.getFileName})\n\n"
     out ++= s"| workload | local[$nLo] s | local[$nHi] s | speedup | efficiency |\n|---|---|---|---|---|\n"
     for (k <- keys) {
       val s = r8(k) / r32(k)

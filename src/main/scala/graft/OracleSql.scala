@@ -338,6 +338,21 @@ object OracleSql {
         |GROUP BY text
         |ORDER BY fp, n_chars""".stripMargin,
 
+    // bounded-state dedup truth: every distinct text emits once (run 1);
+    // the distinct %3 texts emit ONCE MORE (run 3 arrives after their
+    // state expired). occ distinguishes the two emissions of one text so
+    // GROUP BY yields two identical output rows, mirroring the stream.
+    "q_stream_dedup_wm" ->
+      """WITH dt AS (SELECT DISTINCT text FROM documents),
+        |re AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+        |em AS (SELECT text, 0 AS occ FROM dt UNION ALL SELECT text, 1 FROM re)
+        |SELECT CAST(sum(CAST(ascii(substr(text, CAST(k.range AS INT), 1)) AS BIGINT)
+        |         * ((k.range * 2654435761) % 65536)) % 1000000007 AS BIGINT) AS fp,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM em, range(1, 65) k
+        |GROUP BY text, occ
+        |ORDER BY fp, n_chars""".stripMargin,
+
     // decontamination: sh carries every document's distinct shingles;
     // split by source via a join back to documents
     "q_contamination" ->

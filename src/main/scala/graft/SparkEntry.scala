@@ -577,6 +577,68 @@ object SparkEntry {
       s.table("graft_stream_dedup").orderBy("fp", "n_chars")
     }),
 
+    // ---- E17 BOUNDED-STATE streaming dedup: dropDuplicatesWithinWatermark
+    // Three AvailableNow runs over one shared checkpoint, replaying the
+    // state lifecycle end to end:
+    //   run 1 (file a): every document at T0, planted duplicates (doc_id
+    //     % 5 == 0) one minute later — dropped by live state — and a
+    //     sentinel at T0+60 that leaves the watermark at T0+50;
+    //   run 2 (file b): a second sentinel at T0+90. Its batch END evicts
+    //     every run-1 entry (expiry T0+10 <= watermark T0+50) — eviction
+    //     runs at the end of every data batch, so the replay does not
+    //     depend on no-data micro-batches firing;
+    //   run 3 (file c): the distinct texts of doc_id % 3 == 0 at T0+120 —
+    //     beyond the watermark delay, their state is GONE, so every one
+    //     re-emits. That re-emission is the operator's bounded-state
+    //     contract (and what plain dropDuplicates would never do).
+    // Closed-form truth: every distinct text once, plus the %3 texts once
+    // more. Sentinels are filtered out; output projects key-derived
+    // columns only (same argument as q_stream_dedup).
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      g(s)
+      val docs = t(s, dir, "documents")
+      val t0 = to_timestamp(lit("2030-01-01 00:00:00"))
+      def named(df: DataFrame, plusMin: Int): DataFrame =
+        df.select(col("text"), (t0 + expr(s"INTERVAL $plusMin MINUTES")).as("ts"))
+      val sent1 = s.range(1).select(lit("graft wm sentinel 1").as("text"))
+      val sent2 = s.range(1).select(lit("graft wm sentinel 2").as("text"))
+      val fileA = named(docs, 0)
+        .unionByName(named(docs.where(col("doc_id") % 5 === 0), 1))
+        .unionByName(named(sent1, 60))
+      val fileB = named(sent2, 90)
+      val fileC = named(docs.where(col("doc_id") % 3 === 0).select("text").distinct(), 120)
+      val streamDir = java.nio.file.Paths.get(tempDir("graft_wm_dedup_src_"))
+      val outDir = tempDir("graft_wm_dedup_out_")
+      val ckptDir = tempDir("graft_wm_dedup_ckpt_")
+      def addFile(df: DataFrame, name: String): Unit = {
+        val tmp = java.nio.file.Paths.get(tempDir(s"graft_wm_tmp_${name}_"))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).filter(_.getFileName.toString
+          .matches("part-.*\\.parquet")).findFirst().get()
+        java.nio.file.Files.move(part, streamDir.resolve(s"$name.parquet"))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      def runOnce(): Unit = {
+        val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+        val q = graft.streaming.Streaming
+          .dedupByKeyWithinWatermark(stream, "text", "ts", "10 minutes")
+          .where(!col("text").startsWith("graft wm sentinel"))
+          .select(graft.functions.GraftFunctions.text_fingerprint(col("text")).as("fp"),
+            length(col("text")).cast("long").as("n_chars"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckptDir)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      addFile(fileA, "a"); runOnce()
+      addFile(fileB, "b"); runOnce()
+      addFile(fileC, "c"); runOnce()
+      s.read.parquet(outDir).orderBy("fp", "n_chars")
+    }),
+
     // ---- cross-modal caption dedup (captionJoin driver coverage) ---------
     // Every 7th media row's caption is REPLACED by the text of document
     // (3*id mod |documents|) — a closed-form overlap both engines can

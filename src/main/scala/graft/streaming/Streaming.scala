@@ -52,6 +52,24 @@ object Streaming {
   def dedupByKey(stream: DataFrame, key: String): DataFrame =
     stream.dropDuplicates(key)
 
+  /** BOUNDED-STATE streaming dedup — the 100 TB form of [[dedupByKey]]:
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key only
+    * until the event-time watermark passes the entry's event time plus
+    * `delay`, so state size is bounded by the key arrival rate within one
+    * watermark window instead of growing with every distinct key forever.
+    * The semantic trade is explicit: a duplicate arriving more than
+    * `delay` after the retained occurrence is re-emitted (its state was
+    * evicted) — the dedup guarantee is exact WITHIN the watermark window,
+    * which is the contract a web-scale ingest pipeline actually wants
+    * (exact-once per boilerplate burst, not per corpus lifetime).
+    */
+  def dedupByKeyWithinWatermark(stream: DataFrame, key: String,
+                                tsCol: String, delay: String): DataFrame =
+    stream
+      .withColumn(tsCol, col(tsCol).cast("timestamp")) // parquet NTZ -> event time
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Stateful running per-user aggregate (mapGroupsWithState): the custom-
     * state shape kNN/tiling pipelines would use for incremental ingest.
     */

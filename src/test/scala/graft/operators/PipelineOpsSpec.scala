@@ -111,6 +111,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("ragged-length embeddings score by the partial dot over shared components") {
+    // zip_with pads the shorter array with nulls; the coalesce(_, 0) wrap
+    // must reduce a ragged pair to the inner-join-on-i semantics (partial
+    // dot), not a NULL dot ranked last
+    val e = Seq(
+      (0L, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, Seq(2.0f, 1.0f)),          // shorter: dot vs q0 = 2000*1000 + 1000*2000
+      (2L, Seq(1.0f, 1.0f, 1.0f, 9.0f)) // longer: extra component ignored vs q0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteTopK(e, nQueries = 1, k = 2)
+      .select("vec_id", "dot", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // q0 = (1000, 2000, 3000); v1 -> 2000*1000+1000*2000 = 4,000,000;
+    // v2 -> 1000+2000+3000 scaled = 1000*1000+2000*1000+3000*1000 = 6,000,000
+    assert(got === Set((2L, 6000000L, 1), (1L, 4000000L, 2)))
+  }
+
+  test("annTopK re-rank is in-row: no per-component explode anywhere in the plan") {
+    // the re-rank dot must be aggregate(zip_with) over the cached
+    // quantized-array frame (1 row per candidate pair), not the old
+    // (vec_id, i) join + groupBy that shuffled dim rows per pair
+    val ann = Similarity.annTopK(embeddings, nQueries = 5, k = 3)
+    val plan = ann.queryExecution.executedPlan.toString
+    Caching.release(ann)
+    assert(!plan.contains("Generate"),
+      s"annTopK must not explode components (single-probe):\n$plan")
+    assert(!plan.toLowerCase.contains("posexplode"),
+      s"annTopK must not posexplode the quantized stream:\n$plan")
+  }
+
   test("annTopK results are a rank-consistent subset of bucket candidates") {
     val ann = Similarity.annTopK(embeddings, nQueries = 5, k = 3).collect()
     assert(ann.nonEmpty)
