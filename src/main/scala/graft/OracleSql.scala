@@ -79,6 +79,63 @@ object OracleSql {
        |  SELECT DISTINCT doc_id, lang, tok || ' ' || t2 || ' ' || t3 AS shingle
        |  FROM shw WHERE t3 IS NOT NULL)""".stripMargin
 
+  /** Minhash signature + LSH band candidates (= Dedup's 16-hash, 4-row-
+    * band derivation, uncollapsed direct form) — shared by the dedup
+    * closure ctes and the estimate oracle. Exposes `sig(doc_id, j, minh)`
+    * and `cand(doc_a, doc_b)`.
+    */
+  private lazy val minhashCandCte =
+    s"""$shinglesCte,
+       |sints AS (
+       |  SELECT DISTINCT doc_id,
+       |    (((${tokenInt("list_extract(string_split(shingle, ' '), 1)")}) % 1000000007 * 31
+       |      + (${tokenInt("list_extract(string_split(shingle, ' '), 2)")}) % 1000000007) % 1000000007 * 31
+       |      + (${tokenInt("list_extract(string_split(shingle, ' '), 3)")}) % 1000000007) % 1000000007 AS s
+       |  FROM sh),
+       |params AS (
+       |  SELECT CAST(h.range AS INT) AS j,
+       |         (h.range * 2654435761 + 1) % 1000000007 AS a,
+       |         (h.range * 40503 + 7) % 1000000007 AS b
+       |  FROM range(0, 16) h),
+       |sig AS (
+       |  SELECT doc_id, j, min((a * s + b) % 1000000007) AS minh
+       |  FROM sints, params GROUP BY doc_id, j),
+       |banded AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |         sum(minh * (CASE j % 4 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791 ELSE 1 END)) AS band_key
+       |  FROM sig GROUP BY doc_id, band),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Minhash-LSH pairs closed into components by recursive-CTE label
+    * propagation (= Dedup.minhashLshPairs + Components.connectedComponents
+    * at 16 hashes / 4-row bands / Jaccard >= 1/2) — the shared closure
+    * behind q_dedup_clusters and q_dedup_corpus. Callers prepend
+    * `WITH RECURSIVE ` and use `cc(rid, component)`.
+    */
+  private lazy val dedupCcCte =
+    s"""$minhashCandCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE inter * 2 >= (sa.n + sb.n - inter) * 1),
+       |ue AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(rid, r) AS (
+       |  SELECT u, u FROM ue
+       |  UNION
+       |  SELECT e.v, x.r FROM reach x JOIN ue e ON e.u = x.rid),
+       |cc AS (SELECT rid, min(r) AS component FROM reach GROUP BY rid)""".stripMargin
+
   /** Quantized embedding components (= Similarity.quantized); i is
     * 0-based to match posexplode.
     */
@@ -373,50 +430,46 @@ object OracleSql {
     // recursive-CTE label propagation; documents in no pair keep their
     // own id (LEFT JOIN + coalesce)
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |sints AS (
-         |  SELECT DISTINCT doc_id,
-         |    (((${tokenInt("list_extract(string_split(shingle, ' '), 1)")}) % 1000000007 * 31
-         |      + (${tokenInt("list_extract(string_split(shingle, ' '), 2)")}) % 1000000007) % 1000000007 * 31
-         |      + (${tokenInt("list_extract(string_split(shingle, ' '), 3)")}) % 1000000007) % 1000000007 AS s
-         |  FROM sh),
-         |params AS (
-         |  SELECT CAST(h.range AS INT) AS j,
-         |         (h.range * 2654435761 + 1) % 1000000007 AS a,
-         |         (h.range * 40503 + 7) % 1000000007 AS b
-         |  FROM range(0, 16) h),
-         |sig AS (
-         |  SELECT doc_id, j, min((a * s + b) % 1000000007) AS minh
-         |  FROM sints, params GROUP BY doc_id, j),
-         |banded AS (
-         |  SELECT doc_id, j // 4 AS band,
-         |         sum(minh * (CASE j % 4 WHEN 1 THEN 31 WHEN 2 THEN 961 WHEN 3 THEN 29791 ELSE 1 END)) AS band_key
-         |  FROM sig GROUP BY doc_id, band),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM banded x JOIN banded y
-         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b
-         |  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-         |  WHERE inter * 2 >= (sa.n + sb.n - inter) * 1),
-         |ue AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-         |       UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(rid, r) AS (
-         |  SELECT u, u FROM ue
-         |  UNION
-         |  SELECT e.v, x.r FROM reach x JOIN ue e ON e.u = x.rid),
-         |cc AS (SELECT rid, min(r) AS component FROM reach GROUP BY rid)
+      s"""WITH RECURSIVE $dedupCcCte
          |SELECT d.doc_id AS id, coalesce(cc.component, d.doc_id) AS component
          |FROM documents d LEFT JOIN cc ON cc.rid = d.doc_id
          |ORDER BY id""".stripMargin,
+
+    // signature-only Jaccard estimate (est = matching minhash components
+    // of 16): the direct uncollapsed formulation — the engine's collapse
+    // + re-expansion is estimate-invariant (identical texts => identical
+    // signatures), same argument as q_dedup_minhash
+    "q_dedup_minhash_est" ->
+      s"""WITH $minhashCandCte,
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS est
+         |  FROM cand c
+         |  JOIN sig a ON a.doc_id = c.doc_a
+         |  JOIN sig b ON b.doc_id = c.doc_b AND b.j = a.j
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(est AS BIGINT) AS est
+         |FROM est
+         |WHERE est * 2 >= 16 * 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // cluster-representative selection over the same closure: longest
+    // text wins, lowest doc_id breaks ties (window formulation here; the
+    // engine uses the equivalent map-side-combinable max(struct) argmax)
+    "q_dedup_corpus" ->
+      s"""WITH RECURSIVE $dedupCcCte,
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component, d.n_chars
+         |  FROM documents d LEFT JOIN cc ON cc.rid = d.doc_id),
+         |sel AS (
+         |  SELECT component, doc_id, n_chars,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY n_chars DESC, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY component) AS n_members
+         |  FROM asg)
+         |SELECT component, doc_id, n_chars, CAST(n_members AS BIGINT) AS n_members
+         |FROM sel WHERE rk = 1
+         |ORDER BY component""".stripMargin,
 
     "q_simhash" -> {
       // 64-bit: bits 0..31 from hlo, 32..63 from hhi (= Dedup.simhash).

@@ -270,6 +270,20 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusterAssign(t(s, dir, "documents"), 16, 4, 1, 2).orderBy("id")),
 
+    // signature-only verification: Jaccard estimated from matching
+    // minhash components (1 in-row zip_with per candidate pair — no
+    // shingle re-join), threshold est/16 >= 1/2
+    "q_dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(t(s, dir, "documents"), 16, 4, 1, 2)
+        .orderBy("doc_a", "doc_b")),
+
+    // the shipped corpus: one representative per near-dup cluster
+    // (longest text, doc_id tie-break), picked with a map-side-combinable
+    // argmax — the step after clusterAssign a pipeline actually consumes
+    "q_dedup_corpus" -> ((s, dir) =>
+      Dedup.dedupedCorpus(t(s, dir, "documents"), 16, 4, 1, 2)
+        .orderBy("component")),
+
     // ---- training-pipeline: stratified sampling ------------------------
     // rate-based: a pure map-stage filter (scan-speed at 100 TB) keeping
     // exact ppm fractions per language via the deterministic splitter

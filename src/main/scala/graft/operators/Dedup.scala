@@ -123,6 +123,37 @@ object Dedup {
       .select(col("doc_id"), col("jm.j").as("j"), col("jm.minh").as("minh"))
   }
 
+  /** LSH band candidates off the wide signature frame: band keys are
+    * per-row projections — key_b = sum_r m_{b*rows+r} * 31^r (exact
+    * integer addition is order-free, so this equals the old sum()
+    * aggregate over long-form rows bit-for-bit) — then a tiny
+    * nBands-per-doc explode and the band self-join. 31^r as an explicit
+    * integer fold: libm pow() is not guaranteed exactly rounded, and a
+    * 29790.999.. would silently change band keys differently per engine.
+    * Returns distinct (rep_a < rep_b) candidate pairs.
+    */
+  private[operators] def bandCandidates(wide: DataFrame, numHashes: Int,
+                                        rowsPerBand: Int): DataFrame = {
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val lo = b * rowsPerBand
+      val key = (lo until math.min(lo + rowsPerBand, numHashes)).map { j =>
+        val w = (lo until j).foldLeft(1L)((a, _) => a * 31L)
+        col(s"m$j") * lit(w)
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    val banded = wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.band_key").as("band_key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"))
+      .distinct()
+  }
+
   /** MinHash + LSH banding + exact verify. Bands of `rowsPerBand` hashes;
     * band key = order-free weighted fold of the band's minhashes.
     * Candidates (same band key in any band) are verified with the exact
@@ -170,32 +201,8 @@ object Dedup {
     val sh = TextOps.shingles3(repDocs).select("doc_id", "shingle")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // band keys straight off the wide signature columns: key_b =
-    // sum_r m_{b*rows+r} * 31^r as a per-row projection (exact integer
-    // addition is order-free, so this equals the old sum() aggregate over
-    // long-form rows bit-for-bit), then a tiny nBands-per-doc explode.
-    // 31^r as an explicit integer fold — libm pow() is not guaranteed
-    // exactly rounded, and a 29790.999.. would silently change band keys
-    // differently per engine.
     val wide = minhashSignaturesWide(sh, numHashes)
-    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
-    val bandStructs = (0 until nBands).map { b =>
-      val lo = b * rowsPerBand
-      val key = (lo until math.min(lo + rowsPerBand, numHashes)).map { j =>
-        val w = (lo until j).foldLeft(1L)((a, _) => a * 31L)
-        col(s"m$j") * lit(w)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("band_key"))
-    }
-    val banded = wide
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.band_key").as("band_key"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"))
-      .distinct()
+    val cand = bandCandidates(wide, numHashes, rowsPerBand)
 
     // exact verify on the (rep-level) candidate set only
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -255,6 +262,69 @@ object Dedup {
     (Caching.materializeAndRelease(out, members, sh), cand)
   }
 
+  /** MinHash + LSH with SIGNATURE-ONLY verification — the web-scale
+    * verify mode: candidates are scored by the count of MATCHING minhash
+    * components (est/H is the standard unbiased estimator of Jaccard),
+    * and pairs with `est * den >= numHashes * num` survive. Output
+    * (doc_a, doc_b, est).
+    *
+    * The exact path ([[minhashLshPairs]]) re-joins every candidate pair
+    * against the full shingle frame — |pairs| x |shingles/doc| shuffle
+    * rows. Here the score is ONE in-row `aggregate(zip_with)` over the
+    * two 16-long signature arrays (1 row per pair, no per-component
+    * explode), so verification cost is independent of document length —
+    * what production-scale dedup actually runs when the corpus is 10^12
+    * documents and the shingle re-join is the bottleneck. Same
+    * exact-duplicate collapse + re-expansion as the exact path (identical
+    * texts have identical signatures, so the estimate is
+    * collapse-invariant and the oracle can verify against the direct
+    * uncollapsed formulation).
+    */
+  def minhashEstimatePairs(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+                           num: Int, den: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val reps = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
+    val members = docs.select(col("doc_id"), col("text")).join(reps, "text")
+      .select("doc_id", "rep_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val repDocs = docs.join(
+      members.where(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+    val sh = TextOps.shingles3(repDocs).select("doc_id", "shingle")
+    // wide is consumed twice (banding + signature arrays): persist it, not
+    // the (larger) shingle frame the exact path needs for its re-join
+    val wide = minhashSignaturesWide(sh, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = bandCandidates(wide, numHashes, rowsPerBand)
+    val sigArr = wide.select(col("doc_id"),
+      array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+    val scored = cand
+      .join(sigArr.select(col("doc_id").as("rep_a"), col("sig").as("sa")), "rep_a")
+      .join(sigArr.select(col("doc_id").as("rep_b"), col("sig").as("sb")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("est"))
+      .where(col("est") * den >= lit(numHashes.toLong) * num)
+    // re-expansion, same argument as the exact path: cross-group pairs
+    // inherit the rep pair's estimate (identical texts => identical
+    // signatures); within-group pairs have est = numHashes exactly, and
+    // qualify whenever the rep has a signature at all (>= 1 shingle)
+    val cross = scored
+      .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("est"))
+    val within = members.as("p").join(members.as("q"),
+        col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
+        col("p.rep_id").as("rep_id"))
+      .join(wide.select(col("doc_id").as("rep_id")), "rep_id")
+      .where(lit(numHashes.toLong) * den >= lit(numHashes.toLong) * num)
+      .select(col("doc_a"), col("doc_b"), lit(numHashes.toLong).as("est"))
+    val out = cross.unionByName(within)
+    Caching.materializeAndRelease(out, members, wide)
+  }
+
   /** End-to-end near-dup cluster assignment: every document in `docs`
     * gets the min doc_id of its transitive near-duplicate cluster (its
     * own id when it has none) — the form a dedup pipeline actually
@@ -278,6 +348,34 @@ object Dedup {
     val result = Caching.materializeAndRelease(out)
     Caching.release(cc)
     Caching.release(pairs)
+    result
+  }
+
+  /** The step after [[clusterAssign]] that a pipeline actually ships: ONE
+    * representative document per transitive near-duplicate cluster, policy
+    * "longest text wins, lowest doc_id breaks ties" (keep the best copy,
+    * deterministically). Output (component, doc_id, n_chars, n_members).
+    *
+    * SCALE SHAPE: the representative is picked with a map-side-combinable
+    * `max(struct(n_chars, -doc_id))` aggregate, NOT a per-cluster window —
+    * a web-scale boilerplate cluster (10^6 members) costs one partial-agg
+    * cell per partition instead of a single-reducer window sort, the same
+    * hub argument as Components' per-node min. Comparisons are exact
+    * integer lexicographic struct ordering, so any engine reproduces the
+    * choice bit-for-bit.
+    */
+  def dedupedCorpus(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+                    num: Int, den: Int): DataFrame = {
+    val assigned = clusterAssign(docs, numHashes, rowsPerBand, num, den)
+    val out = docs.select(col("doc_id"), col("n_chars"))
+      .join(assigned, docs("doc_id") === assigned("id"))
+      .groupBy("component")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("sel"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), (-col("sel.neg_id")).as("doc_id"),
+        col("sel.n_chars").as("n_chars"), col("n_members"))
+    val result = Caching.materializeAndRelease(out)
+    Caching.release(assigned)
     result
   }
 
