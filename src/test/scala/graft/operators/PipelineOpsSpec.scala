@@ -111,6 +111,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dedupedCorpus: representatives cover every cluster, argmax not window") {
+    val out = Dedup.dedupedCorpus(docs, 16, 4, 1, 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val plan = out.queryExecution.executedPlan.toString
+    Caching.release(out)
+    // scale-shape guard: the per-cluster pick must be the partial-agg
+    // argmax (hub-safe), never a per-cluster window sort
+    assert(!plan.contains("Window"),
+      s"representative pick must not use a window:\n$plan")
+    // structure: one row per component, member counts sum to the corpus,
+    // each representative is its own component's member
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.map(_._4).sum === docs.count())
+    val assigned = Dedup.clusterAssign(docs, 16, 4, 1, 2)
+    val compOf = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caching.release(assigned)
+    for ((comp, rep, _, _) <- rows) assert(compOf(rep) === comp)
+  }
+
+  test("minhashEstimatePairs: planted exact duplicates estimate at exactly numHashes") {
+    import org.apache.spark.sql.Row
+    val one = docs.where($"doc_id" === 3).collect().head
+    val clone = spark.createDataFrame(
+      java.util.List.of(Row(10000L, one.getString(1), one.getString(2),
+        one.getString(3), one.getLong(4))), docs.schema)
+    val est = Dedup.minhashEstimatePairs(docs.unionByName(clone), 16, 4, 1, 2)
+    val got = est.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caching.release(est)
+    // identical texts => identical signatures => every component matches
+    assert(got.contains((3L, 10000L, 16L)),
+      s"planted duplicate pair missing or mis-scored: ${got.toSeq.take(10)}")
+    // and every estimate respects the threshold and the ceiling
+    assert(got.forall { case (_, _, e) => e >= 8L && e <= 16L })
+  }
+
   test("ragged-length embeddings score by the partial dot over shared components") {
     // zip_with pads the shorter array with nulls; the coalesce(_, 0) wrap
     // must reduce a ragged pair to the inner-join-on-i semantics (partial
