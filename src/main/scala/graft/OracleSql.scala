@@ -221,7 +221,29 @@ object OracleSql {
        |SELECT point_id, poly_id, rank FROM rk WHERE rank <= 3
        |ORDER BY point_id, rank""".stripMargin
 
+  // radius join: brute-force theta join over the same synthetic tables
+  // as the kNN oracle; d2 <= 4.0 (radius 2.0) mirrors the Spark
+  // expression shape exactly (products + sums, no sqrt on the compare)
+  private val radiusJoinOracle: String =
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS point_id,
+       |         ((c_custkey % 360) / 10.0 - 18.0) AS x,
+       |         ((c_custkey * 7 % 180) / 10.0 - 9.0) AS y
+       |  FROM customer),
+       |lab AS (
+       |  SELECT 's' || s_suppkey AS poly_id,
+       |         ((s_suppkey * 13 % 360) / 10.0 - 18.0) AS lx,
+       |         ((s_suppkey * 29 % 180) / 10.0 - 9.0) AS ly
+       |  FROM supplier)
+       |SELECT point_id, poly_id
+       |FROM pts, lab
+       |WHERE (x - lx) * (x - lx) + (y - ly) * (y - ly) <= 4.0
+       |ORDER BY point_id, poly_id""".stripMargin
+
   val all: Map[String, String] = Map(
+
+    "q_radius_join" -> radiusJoinOracle,
+    "q_radius_join_part" -> radiusJoinOracle,
 
     "q_polylabel_fixtures" ->
       s"""SELECT * FROM (VALUES $fixtureValues) AS t(poly_id, x, y)

@@ -136,6 +136,12 @@ object SparkEntry {
     "q_knn_adaptive" -> ((s, dir) =>
       knnQuery(s, dir, broadcastLabels = false, level = 13)),
 
+    // ---- radius (distance-within) join: the fixed-radius range join,
+    // kNN's sibling — same cell grid, no ranking. Broadcast and
+    // co-partitioned shuffle variants share one brute-force oracle.
+    "q_radius_join" -> ((s, dir) => radiusQuery(s, dir, broadcastLabels = true)),
+    "q_radius_join_part" -> ((s, dir) => radiusQuery(s, dir, broadcastLabels = false)),
+
     // ---- aggregation (E12): TPC-H Q1 shape, decimal-exact sums ---------
     // Fixed-point BIGINT output (milli-units): Spark renders sum(decimal)
     // as decimal(28,3), DuckDB as decimal(38,3) — same values, different
@@ -731,6 +737,27 @@ object SparkEntry {
       broadcastLabels = broadcastLabels)
       .select(col("point_id"), col("poly_id"), col("rank"))
       .orderBy("point_id", "rank")
+  }
+
+  /** Same synthetic point/label tables as knnQuery; radius 2.0 spans a
+    * few grid cells at the auto-picked level so both the ring cover and
+    * the refine filter do real work under the oracle.
+    */
+  private def radiusQuery(s: SparkSession, dir: String,
+                          broadcastLabels: Boolean): DataFrame = {
+    g(s)
+    val points = t(s, dir, "customer")
+      .select(col("c_custkey").as("point_id"),
+        ((col("c_custkey") % 360) / 10.0 - 18.0).as("x"),
+        ((col("c_custkey") * 7 % 180) / 10.0 - 9.0).as("y"))
+    val labels = t(s, dir, "supplier")
+      .select(concat(lit("s"), col("s_suppkey")).as("poly_id"),
+        ((col("s_suppkey") * 13 % 360) / 10.0 - 18.0).as("lx"),
+        ((col("s_suppkey") * 29 % 180) / 10.0 - 9.0).as("ly"))
+    SpatialJoins.radiusJoin(points, labels, radius = 2.0,
+      broadcastLabels = broadcastLabels)
+      .select(col("point_id"), col("poly_id"))
+      .orderBy("point_id", "poly_id")
   }
 
   /** Temp dir for query-side scratch output, removed on JVM exit so

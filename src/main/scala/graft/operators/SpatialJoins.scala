@@ -199,6 +199,64 @@ object SpatialJoins {
       .drop("cell_id", "salt", "exterior", "holes", "tolerance")
   }
 
+  /** Distance-within (radius) join: every (point, label) pair with
+    * Euclidean distance <= radius — the classic spatial range join
+    * (fixed radius, no ranking: kNN's sibling on SURVEY.md E9's
+    * cell-grid machinery, reference kernel distance semantics per
+    * /root/reference/src/lib.rs signed-distance conventions).
+    *
+    * points: (point_id, x, y, ...); labels: (poly_id, lx, ly).
+    *
+    * Plan shape (the 100 TB contract): each point explodes the kRing of
+    * its own cell whose Chebyshev ring provably covers the radius
+    * (k = floor(radius/cellDim) + 1 per axis — the +1 absorbs boundary
+    * straddling, so the cover is lossless at any level); labels keep
+    * their ONE home cell, so the cell equi-join emits each qualifying
+    * pair exactly once — no distinct, no window, no cross join at any
+    * density. The refine step is one codegen'd d2 <= r² filter. With
+    * `broadcastLabels = false` the join shuffles both sides
+    * co-partitioned by cell (AQE-splittable; same truth).
+    *
+    * AutoLevel picks the FINEST grid whose cell still exceeds the
+    * radius (k stays 1, ring = 9 cells/point) — finer cells would grow
+    * k quadratically, coarser ones sweep needless candidates into the
+    * refine filter.
+    *
+    * Output: point columns + (poly_id, dist). dist = sqrt(d2) is exact
+    * IEEE (products+sums then one sqrt), reproducible bit-for-bit by
+    * any engine mirroring the expression shape.
+    */
+  def radiusJoin(points: DataFrame, labels: DataFrame, radius: Double,
+                 level: Int = AutoLevel,
+                 broadcastLabels: Boolean = true): DataFrame = {
+    require(radius > 0.0, s"radius must be positive, got $radius")
+    val lvl = if (level == AutoLevel) radiusAutoLevel(radius) else level
+    val cellW = CellIndex.SpanX / CellIndex.gridSize(lvl).toDouble
+    val cellH = CellIndex.SpanY / CellIndex.gridSize(lvl).toDouble
+    val k = math.max(math.floor(radius / cellW).toInt + 1,
+      math.floor(radius / cellH).toInt + 1)
+    val lab = labels
+      .withColumn("lcell", cell_of(col("lx"), col("ly"), lit(lvl)))
+    val labSide = if (broadcastLabels) broadcast(lab) else lab
+    val ptCols = points.columns.toSeq
+    points
+      .withColumn("cell",
+        explode(cell_kring(cell_of(col("x"), col("y"), lit(lvl)), lit(k))))
+      .join(labSide, col("cell") === col("lcell"))
+      .withColumn("d2", (col("x") - col("lx")) * (col("x") - col("lx")) +
+        (col("y") - col("ly")) * (col("y") - col("ly")))
+      .where(col("d2") <= lit(radius * radius))
+      .select(ptCols.map(col) :+ col("poly_id") :+ sqrt(col("d2")).as("dist"): _*)
+  }
+
+  /** Finest level whose cell dimension still exceeds the radius on both
+    * axes (cellH = SpanY/2^L is the binding one), clamped to the grid.
+    */
+  def radiusAutoLevel(radius: Double): Int = {
+    val lvlF = math.floor(math.log(CellIndex.SpanY / radius) / math.log(2.0)).toInt
+    math.max(0, math.min(CellIndex.MaxLevel, lvlF))
+  }
+
   /** k-nearest-neighbour join: for every point, the k nearest label
     * points (EDBT'12-style cell-ring expansion, SURVEY.md E9).
     *

@@ -105,6 +105,38 @@ class SpatialJoinSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(gotPart === brute)
   }
 
+  test("radiusJoin == brute-force distance filter at several levels, both modes") {
+    val labels = polys
+      .withColumn("label", polylabel($"exterior", $"holes", $"tolerance"))
+      .select($"poly_id", $"label.x".as("lx"), $"label.y".as("ly"))
+      .cache()
+    for (radius <- Seq(1.5, 6.0)) {
+      val brute = points.crossJoin(labels)
+        .where(($"x" - $"lx") * ($"x" - $"lx") + ($"y" - $"ly") * ($"y" - $"ly")
+          <= lit(radius * radius))
+        .select($"point_id", $"poly_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(brute.nonEmpty, s"radius $radius oracle must match something")
+      // AutoLevel (k=1 ring), a coarser grid (whole disk inside one ring),
+      // and a DELIBERATELY too-fine grid (k > 1: the boundary-straddle +1
+      // must keep the ring cover lossless)
+      for (level <- Seq(SpatialJoins.AutoLevel, 4, 9);
+           bcast <- Seq(true, false)) {
+        val out = SpatialJoins.radiusJoin(points, labels, radius,
+          level = level, broadcastLabels = bcast)
+        val got = out.select($"point_id", $"poly_id")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(got === brute, s"radius=$radius level=$level broadcast=$bcast")
+        if (level == 9 && !bcast) {
+          val plan = out.queryExecution.executedPlan.toString
+          assert(!plan.contains("Cartesian"),
+            s"radius join must stay a cell equi-join:\n$plan")
+        }
+      }
+    }
+    labels.unpersist(blocking = false)
+  }
+
   test("knnJoin multi-round carry-forward: sparse labels, many rounds == brute") {
     // 25 labels over a level-11 grid: almost nothing resolves in round 1,
     // so rounds 2..4 exercise the carried-candidate union + annulus-shell
