@@ -531,6 +531,41 @@ object OracleSql {
          |FROM documents d JOIN tk ON d.doc_id = tk.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Gopher-style repetition signals: non-distinct 3-gram stream via
+    // lead windows over the same toks contract (identical multiset to
+    // the Spark side's array construction); integer division for the
+    // fixed-point milli ratios; < 3-token docs excluded in both engines
+    "q_repetition" ->
+      s"""WITH $toksCte,
+         |grw AS (
+         |  SELECT doc_id,
+         |         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS gram,
+         |         lead(tok, 2) OVER w AS t3
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |         CAST(count(DISTINCT gram) AS BIGINT) AS n_gram_distinct
+         |  FROM grw WHERE t3 IS NOT NULL GROUP BY doc_id),
+         |tc AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM toks GROUP BY doc_id, tok),
+         |top AS (
+         |  SELECT doc_id, tok AS top_tok, cnt AS top_tok_cnt FROM (
+         |    SELECT doc_id, tok, cnt,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok) AS rn
+         |    FROM tc) WHERE rn = 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY doc_id)
+         |SELECT g.doc_id, tot.n_tokens, top.top_tok, top.top_tok_cnt,
+         |       CAST((top.top_tok_cnt * 1000) // tot.n_tokens AS BIGINT) AS top_tok_milli,
+         |       g.n_grams, g.n_gram_distinct,
+         |       CAST(((g.n_grams - g.n_gram_distinct) * 1000) // g.n_grams AS BIGINT) AS dup_gram_milli
+         |FROM g
+         |JOIN top ON g.doc_id = top.doc_id
+         |JOIN tot ON g.doc_id = tot.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+
     "q_lang_id" ->
       s"""WITH $toksCte,
          |sc AS (

@@ -257,6 +257,11 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Gopher-style repetition quality signals (duplicate 3-gram fraction
+    // + most-common-word share), integer-exact fixed-point
+    "q_repetition" -> ((s, dir) =>
+      TextOps.repetition(t(s, dir, "documents")).orderBy("doc_id")),
+
     "q_fingerprint" -> ((s, dir) => {
       g(s) // text_fingerprint is a registered graft expression
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")

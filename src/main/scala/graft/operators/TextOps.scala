@@ -98,6 +98,55 @@ object TextOps {
       .join(toks, "doc_id")
   }
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021's
+    * quality-filter family, relational form): per document,
+    *
+    *   - n_grams / n_gram_distinct — total vs distinct word-3-grams
+    *     (same construction as shingles3, WITHOUT the distinct), and
+    *     dup_gram_milli = (n_grams - n_gram_distinct) * 1000 div n_grams
+    *     — the "fraction of duplicate n-grams" boilerplate signal;
+    *   - top_tok / top_tok_cnt / top_tok_milli — the most frequent token
+    *     (ties → lexicographically smallest) and its share of n_tokens —
+    *     the "most common word fraction" signal.
+    *
+    * Integer-exact throughout (fixed-point milli ratios via integer
+    * division), so any SQL engine reproduces it bit-for-bit. Scale shape:
+    * the gram and token streams shuffle on (doc_id) / (doc_id, tok) keys
+    * with partial+final aggregation; the per-doc argmax is a
+    * map-side-combinable min(struct(-cnt, tok)) — never a per-doc window
+    * sort, so a hub document costs one partial-agg cell per partition.
+    * Docs with fewer than 3 tokens emit no grams and are excluded (inner
+    * join), mirroring the oracle.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val n = size(col("tk"))
+    val grams = docs
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, MaxTokens).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        explode(when(n >= 3, sequence(lit(1), n - 2))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("tk"), col("i")),
+          element_at(col("tk"), col("i") + 1),
+          element_at(col("tk"), col("i") + 2)).as("gram"))
+    val g = grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("gram")).as("n_gram_distinct"))
+    val top = tokens(docs).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+        min(struct((-col("cnt")).as("nc"), col("tok").as("t"))).as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("m.t").as("top_tok"), (-col("m.nc")).as("top_tok_cnt"))
+    g.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_tok"),
+        col("top_tok_cnt"),
+        expr("top_tok_cnt * 1000 div n_tokens").as("top_tok_milli"),
+        col("n_grams"), col("n_gram_distinct"),
+        expr("(n_grams - n_gram_distinct) * 1000 div n_grams").as("dup_gram_milli"))
+  }
+
   /** Marker-stopword language id: score each candidate language by marker
     * token hits; predict the argmax (ties broken by language code). This is
     * the classic n-gram/stopword heuristic in relational form.

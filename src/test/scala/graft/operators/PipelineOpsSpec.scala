@@ -189,6 +189,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition: hand-computed gram/top-token signals; argmax not window; <3 tokens excluded") {
+    val df = Seq(
+      (1L, "a b a b a b"), // grams: aba bab aba bab -> 4 total 2 distinct; a/b tie -> a
+      (2L, "x y"),         // < 3 tokens: excluded
+      (3L, "p q r s")      // grams: pqr qrs -> no dups; all-tie top token -> p
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetition(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-doc argmax must be the partial-agg min(struct), not a window:\n$plan")
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got === Array(
+      (1L, 6L, "a", 3L, 500L, 4L, 2L, 500L),
+      (3L, 4L, "p", 1L, 250L, 2L, 2L, 0L)))
+  }
+
   test("shingles3 edge cases: < 3 tokens -> no shingles; duplicates collapse") {
     // the in-row rewrite's risky branch: sequence(1, n-2) DESCENDS for
     // n < 3 unless guarded — a 1-token doc must emit zero shingles, not
