@@ -27,12 +27,14 @@ start_cluster() { # $1 = worker count
   "$SPARK_HOME"/bin/spark-class org.apache.spark.deploy.master.Master \
     -h 127.0.0.1 -p 7077 --webui-port 8090 >"$LOGDIR/master.log" 2>&1 &
   PIDS+=($!)
-  for i in $(seq 1 "$1"); do
+  # loop var must NOT be `i`: the caller's round counter is `i`, and a
+  # clobber here mislabels every later round's progress line
+  for w in $(seq 1 "$1"); do
     # one executor per worker: worker cores == spark.executor.cores
-    SPARK_LOCAL_DIRS=/dev/shm/graft-worker$i \
+    SPARK_LOCAL_DIRS=/dev/shm/graft-worker$w \
     "$SPARK_HOME"/bin/spark-class org.apache.spark.deploy.worker.Worker \
-      "$MASTER_URL" -c 4 -m 24g -d "/tmp/graft-worker$i" --webui-port 0 \
-      >"$LOGDIR/worker$i.log" 2>&1 &
+      "$MASTER_URL" -c 4 -m 24g -d "/tmp/graft-worker$w" --webui-port 0 \
+      >"$LOGDIR/worker$w.log" 2>&1 &
     PIDS+=($!)
   done
   # registration is cheap to await here; ClusterBench re-checks and
