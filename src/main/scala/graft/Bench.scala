@@ -354,7 +354,7 @@ object ScalingBench {
         .filter(_.contains(s""""cores":$cores,"""))
         .filter(_.contains(s""""scale":${scaleStr.toDouble},"""))
         .map { l =>
-          """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
+          """"([a-z][a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(l)
             .filterNot(m => Set("cores", "scale").contains(m.group(1)))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
@@ -387,7 +387,7 @@ object ScalingBench {
       .filter(_.contains(s""""cores":$cores,"""))
       .filter(_.contains(s""""scale":${scaleStr.toDouble},"""))
       .map { l =>
-        """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(l)
+        """"([a-z][a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(l)
           .filterNot(m => Set("cores", "scale").contains(m.group(1)))
           .map(_.group(2).toDouble).sum
       }.toSeq

@@ -137,6 +137,12 @@ class SpatialJoinSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     labels.unpersist(blocking = false)
   }
 
+  test("radiusAutoLevel: finest cell exceeding the radius, clamped at grid bounds") {
+    assert(SpatialJoins.radiusAutoLevel(2.0) === 6)      // 180/64=2.81 > 2 > 180/128
+    assert(SpatialJoins.radiusAutoLevel(200.0) === 0)    // radius > SpanY -> coarsest
+    assert(SpatialJoins.radiusAutoLevel(1e-9) === 26)    // clamped at MaxLevel
+  }
+
   test("knnJoin multi-round carry-forward: sparse labels, many rounds == brute") {
     // 25 labels over a level-11 grid: almost nothing resolves in round 1,
     // so rounds 2..4 exercise the carried-candidate union + annulus-shell
