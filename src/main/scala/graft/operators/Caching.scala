@@ -98,17 +98,23 @@ object Caching {
     // signature intersects this frame's leaves: a frame built by feeding
     // one adopted result into a second operator contains the first's
     // leaves as a subset, and a bare subset rule would release the first
-    // result's still-live part caches when the second is released.
-    Option(adoptees.remove(df)).foreach(_.parts.foreach(_.unpersist(blocking = false)))
+    // result's still-live part caches when the second is released. The
+    // identity-removed adoption stays in the blocker list for that scan:
+    // removing it first would let a nested inner adoption (its leaves a
+    // proper subset of this frame's) match and lose its still-live part
+    // caches (round-6 advisor finding).
+    val removed = Option(adoptees.remove(df))
+    removed.foreach(_.parts.foreach(_.unpersist(blocking = false)))
     val ids = leafRddIds(df)
     if (ids.nonEmpty) adoptees.synchronized {
       import scala.jdk.CollectionConverters._
       val entries = adoptees.entrySet().asScala.toList
+      val blockers = entries.map(_.getValue) ++ removed
       val matched = entries.filter { e =>
         val a = e.getValue
         a.sig.nonEmpty && (a.sig == ids ||
-          (a.sig.subsetOf(ids) && entries.forall(o =>
-            (o eq e) || o.getValue.sig.intersect(ids).isEmpty)))
+          (a.sig.subsetOf(ids) && blockers.forall(o =>
+            (o eq a) || o.sig.intersect(ids).isEmpty)))
       }
       matched.foreach { e =>
         e.getValue.parts.foreach(_.unpersist(blocking = false))

@@ -63,11 +63,18 @@ object Components {
     try {
       while (!converged && it < maxIters) {
         val (next, nextSig) = truncatedSigned(smallStar(largeStar(e)))
-        if (nextSig == sig) {
-          // exact confirmation: counts are equal (part of the signature),
-          // so next \ e empty <=> the sets are equal (both are distinct)
-          converged = next.join(e,
-            next("u") === e("u") && next("v") === e("v"), "left_anti").isEmpty
+        try {
+          if (nextSig == sig) {
+            // exact confirmation: counts are equal (part of the signature),
+            // so next \ e empty <=> the sets are equal (both are distinct)
+            converged = next.join(e,
+              next("u") === e("u") && next("v") === e("v"), "left_anti").isEmpty
+          }
+        } catch {
+          // the finally below releases only `e`; without this, a confirm
+          // failure would strand the freshly checkpointed `next` for the
+          // session (round-6 advisor finding)
+          case t: Throwable => Caching.release(next); throw t
         }
         Caching.release(e)
         e = next
@@ -94,6 +101,14 @@ object Components {
   /** Large-star: for every node u, connect each strictly-larger
     * neighbour v to m(u) = min(neighbours(u) ∪ {u}). Emitted edges are
     * canonical (m < v) because m <= u < v.
+    *
+    * The output is a MULTISET (exactly one row per input edge — the
+    * v > u filter keeps one direction of each nb pair — with duplicates
+    * only where two neighbours of v share a min): small-star's min
+    * aggregate and trailing distinct absorb them, so
+    * smallStar(largeStar(e)) is set-identical to the old
+    * distinct-per-phase form while each iteration saves one full
+    * edge-set exchange + aggregate.
     */
   private[graft] def largeStar(e: DataFrame): DataFrame = {
     val nb = e.select(col("u"), col("v"))
@@ -102,7 +117,6 @@ object Components {
       .select(col("u"), least(col("u"), col("mv")).as("m"))
     nb.join(mins, "u").where(col("v") > col("u"))
       .select(col("m").as("u"), col("v"))
-      .distinct()
   }
 
   /** Small-star: group canonical edges by their LARGER endpoint b with

@@ -178,44 +178,84 @@ object Dedup {
                       expandWithin: Boolean = true): DataFrame =
     minhashLshPairsImpl(docs, numHashes, rowsPerBand, num, den, expandWithin)._1
 
+  /** Wide MinHash signatures computed IN-ROW over a per-doc shingle-int
+    * array: m_j = array_min over the same closed-form (a_j, b_j) hash the
+    * groupBy build uses — bit-identical values, zero exchanges (min over
+    * the array elements equals min over the exploded rows). An empty
+    * array yields null m_j, which bands nowhere (null band keys never
+    * equi-join) — the same candidacy as being absent from the groupBy
+    * build.
+    */
+  private def wideSigCols(si: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { j =>
+      val a = (j * 2654435761L + 1L) % P
+      val b = (j * 40503L + 7L) % P
+      array_min(transform(si, s => (lit(a) * s + lit(b)) % P)).as(s"m$j")
+    }
+
   /** Implementation returning (result, rep-level candidate pairs) so tests
     * can assert the candidate volume; the second frame is lazy.
     */
   private[operators] def minhashLshPairsImpl(
       docs: DataFrame, numHashes: Int, rowsPerBand: Int,
       num: Int, den: Int, expandWithin: Boolean = true): (DataFrame, DataFrame) = {
+    val s = minhashLshStages(docs, numHashes, rowsPerBand, num, den, expandWithin)
+    (Caching.materializeAndRelease(s.out, s.shA), s.cand)
+  }
+
+  /** The lazy stage frames of the exact LSH path — shared by the operator
+    * and the round-7 plan-evidence dump (graft.operators.PlanDump).
+    */
+  private[operators] final case class LshStages(
+      shA: DataFrame, members: DataFrame, wide: DataFrame, cand: DataFrame,
+      verified: DataFrame, out: DataFrame)
+
+  private[operators] def minhashLshStages(
+      docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+      num: Int, den: Int, expandWithin: Boolean): LshStages = {
     import org.apache.spark.storage.StorageLevel
-    // Stage 0 — exact-duplicate collapse: doc -> representative (min
-    // doc_id per distinct text). groupBy (partial aggregation absorbs the
-    // heavy hitters) + join back (AQE-skew-splittable) — NOT a window over
-    // text, which would put a mega-cluster in one unsplittable partition.
-    val reps = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
-    val members = docs.select(col("doc_id"), col("text")).join(reps, "text")
-      .select("doc_id", "rep_id")
+    // Stage 0 — exact-duplicate collapse in ONE text exchange: group by
+    // text keeping the representative (min doc_id per distinct text —
+    // partial aggregation absorbs the heavy hitters) AND the member-id
+    // list. collect_list gathers one doc_id per input row, so exploding
+    // it reproduces the old members set exactly. The former shape
+    // (reps groupBy + members join-back + repDocs join) shuffled the
+    // full text column three times and re-scanned docs twice; members
+    // and the representative texts are now narrow projections of this
+    // one aggregate.
+    val collapsed = docs.groupBy("text")
+      .agg(min("doc_id").as("rep_id"), collect_list("doc_id").as("ids"))
+    // ONE cached per-rep frame feeds everything downstream: the distinct
+    // shingle ARRAY (in-row — no explode, no distinct exchange; the set
+    // is identical to shingles3's, see TextOps.shingleArray), its int
+    // encoding (for the signatures), and the member-id list.
+    val shA = collapsed
+      .select(col("rep_id"), col("ids"), TextOps.shingleArray(col("text")).as("sh"))
+      .select(col("rep_id"), col("ids"), col("sh"),
+        transform(col("sh"), s => TextOps.shingleInt(s)).as("si"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val repDocs = docs.join(
-      members.where(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
+    val members = shA.select(explode(col("ids")).as("doc_id"), col("rep_id"))
 
-    // ONE cached shingle frame feeds both the signature build and the
-    // exact verify (building it twice was measured waste).
-    val sh = TextOps.shingles3(repDocs).select("doc_id", "shingle")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    val wide = minhashSignaturesWide(sh, numHashes)
+    val wide = shA.select(
+      col("rep_id").as("doc_id") +: wideSigCols(col("si"), numHashes): _*)
     val cand = bandCandidates(wide, numHashes, rowsPerBand)
 
-    // exact verify on the (rep-level) candidate set only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "rep_a").withColumnRenamed("shingle", "sa"), "rep_a")
-      .join(sh.withColumnRenamed("doc_id", "rep_b2").withColumnRenamed("shingle", "sb"),
-        col("rep_b") === col("rep_b2") && col("sa") === col("sb"))
-      .groupBy("rep_a", "rep_b")
-      .agg(count(lit(1)).as("inter"))
-    val verified = inter
-      .join(sizes.withColumnRenamed("doc_id", "rep_a").withColumnRenamed("n", "na"), "rep_a")
-      .join(sizes.withColumnRenamed("doc_id", "rep_b").withColumnRenamed("n", "nb"), "rep_b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    // exact verify on the (rep-level) candidate set only: each pair pulls
+    // both reps' distinct-shingle arrays ONCE and intersects in-row —
+    // 1 slim row per pair through every exchange, where the former shape
+    // re-joined the exploded shingle frame per pair (|pairs| x
+    // |shingles/doc| exchange rows, the engine's measured worst scaler)
+    // and then paid a sizes aggregate + two more joins. array_intersect
+    // over distinct arrays counts exactly |A ∩ B| — the same number the
+    // (sa = sb) equi-join + count computed.
+    val shSets = shA.select(col("rep_id"), col("sh"))
+    val verified = cand
+      .join(shSets.select(col("rep_id").as("rep_a"), col("sh").as("sa")), "rep_a")
+      .join(shSets.select(col("rep_id").as("rep_b"), col("sh").as("sb")), "rep_b")
+      .select(col("rep_a"), col("rep_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("szs"))
+      .withColumn("uni", col("szs") - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select("rep_a", "rep_b", "inter", "uni")
 
@@ -224,8 +264,11 @@ object Dedup {
     // => identical shingle sets). Within-group: jaccard is exactly 1, so
     // the pair qualifies iff n*den >= n*num with n >= 1 distinct shingle
     // (documents with < 3 tokens have no shingles, hence — exactly as in
-    // the uncollapsed formulation — no signatures, no candidacy, no pairs).
+    // the uncollapsed formulation — no signatures, no candidacy, no pairs;
+    // presence in the old exploded sizes frame == size(sh) >= 1 here).
     // Both joins produce OUTPUT rows directly; no verify work per pair.
+    val repSizes = shA.where(size(col("sh")) >= 1)
+      .select(col("rep_id"), size(col("sh")).cast("long").as("n"))
     val cross = verified
       .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
       .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
@@ -235,7 +278,7 @@ object Dedup {
         col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
         col("p.rep_id").as("rep_id"))
-      .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+      .join(repSizes, "rep_id")
       .where(col("n") * den >= col("n") * num)
       .select(col("doc_a"), col("doc_b"), col("n").as("inter"), col("n").as("uni"))
 
@@ -250,7 +293,7 @@ object Dedup {
       if (expandWithin) cross.unionByName(within)
       else {
         val memberRows = members.where(col("doc_id") =!= col("rep_id"))
-          .join(sizes.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+          .join(repSizes, "rep_id")
           .where(col("n") * den >= col("n") * num) // no-shingle docs: no pairs
           .select(col("rep_id").as("doc_a"), col("doc_id").as("doc_b"),
             col("n").as("inter"), col("n").as("uni"))
@@ -259,7 +302,7 @@ object Dedup {
             col("inter"), col("uni"))
           .unionByName(memberRows)
       }
-    (Caching.materializeAndRelease(out, members, sh), cand)
+    LshStages(shA, members, wide, cand, verified, out)
   }
 
   /** MinHash + LSH with SIGNATURE-ONLY verification — the web-scale
@@ -283,23 +326,27 @@ object Dedup {
   def minhashEstimatePairs(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
                            num: Int, den: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val reps = docs.groupBy("text").agg(min("doc_id").as("rep_id"))
-    val members = docs.select(col("doc_id"), col("text")).join(reps, "text")
-      .select("doc_id", "rep_id")
+    // same one-exchange exact-duplicate collapse as minhashLshPairsImpl
+    val collapsed = docs.groupBy("text")
+      .agg(min("doc_id").as("rep_id"), collect_list("doc_id").as("ids"))
+    // ONE cached frame: member ids + in-row wide signatures (+ the
+    // shingle count for the within-group presence rule). The estimate
+    // path never materializes a shingle frame at all — signatures fold
+    // in-row over the shingle array (bit-identical, see wideSigCols).
+    val sigW = collapsed
+      .select(col("rep_id"), col("ids"), TextOps.shingleArray(col("text")).as("sh"))
+      .select(Seq(col("rep_id"), col("ids"), size(col("sh")).as("nsh")) ++
+        wideSigCols(transform(col("sh"), s => TextOps.shingleInt(s)), numHashes): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val repDocs = docs.join(
-      members.where(col("doc_id") === col("rep_id")).select("doc_id"), "doc_id")
-    val sh = TextOps.shingles3(repDocs).select("doc_id", "shingle")
-    // wide is consumed twice (banding + signature arrays): persist it, not
-    // the (larger) shingle frame the exact path needs for its re-join
-    val wide = minhashSignaturesWide(sh, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val members = sigW.select(explode(col("ids")).as("doc_id"), col("rep_id"))
+    val wide = sigW.select(
+      col("rep_id").as("doc_id") +: (0 until numHashes).map(j => col(s"m$j")): _*)
     val cand = bandCandidates(wide, numHashes, rowsPerBand)
-    val sigArr = wide.select(col("doc_id"),
+    val sigArr = sigW.select(col("rep_id"),
       array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
     val scored = cand
-      .join(sigArr.select(col("doc_id").as("rep_a"), col("sig").as("sa")), "rep_a")
-      .join(sigArr.select(col("doc_id").as("rep_b"), col("sig").as("sb")), "rep_b")
+      .join(sigArr.select(col("rep_id").as("rep_a"), col("sig").as("sa")), "rep_a")
+      .join(sigArr.select(col("rep_id").as("rep_b"), col("sig").as("sb")), "rep_b")
       .select(col("rep_a"), col("rep_b"),
         aggregate(zip_with(col("sa"), col("sb"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -308,21 +355,26 @@ object Dedup {
     // re-expansion, same argument as the exact path: cross-group pairs
     // inherit the rep pair's estimate (identical texts => identical
     // signatures); within-group pairs have est = numHashes exactly, and
-    // qualify whenever the rep has a signature at all (>= 1 shingle)
+    // qualify whenever the rep has a signature at all (>= 1 shingle).
+    // Whether est = numHashes meets the threshold is a COMPILE-TIME
+    // fact, so the branch is decided here instead of shipping an
+    // always-true row predicate (the round-6 advisor's cosmetic note).
     val cross = scored
       .join(members.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
       .join(members.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("est"))
-    val within = members.as("p").join(members.as("q"),
+    val withinBase = members.as("p").join(members.as("q"),
         col("p.rep_id") === col("q.rep_id") && col("p.doc_id") < col("q.doc_id"))
       .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"),
         col("p.rep_id").as("rep_id"))
-      .join(wide.select(col("doc_id").as("rep_id")), "rep_id")
-      .where(lit(numHashes.toLong) * den >= lit(numHashes.toLong) * num)
+      .join(sigW.where(col("nsh") >= 1).select(col("rep_id")), "rep_id")
       .select(col("doc_a"), col("doc_b"), lit(numHashes.toLong).as("est"))
+    val within =
+      if (numHashes.toLong * den >= numHashes.toLong * num) withinBase
+      else withinBase.limit(0) // threshold > 1: exact duplicates don't qualify
     val out = cross.unionByName(within)
-    Caching.materializeAndRelease(out, members, wide)
+    Caching.materializeAndRelease(out, sigW)
   }
 
   /** End-to-end near-dup cluster assignment: every document in `docs`

@@ -73,6 +73,26 @@ object TextOps {
       .distinct()
   }
 
+  /** Per-document DISTINCT word-3-gram shingle ARRAY, built entirely
+    * in-row from the token array: consecutive tokens are adjacent array
+    * elements and `array_distinct` dedups within the row, so the column
+    * costs one codegen'd projection — no explode, no distinct exchange.
+    * Same split / MaxTokens slice / n >= 3 guard as [[shingles3]], so
+    * the per-document shingle SET is identical; only the carrier shape
+    * differs (one array cell vs exploded rows). This is the form the
+    * MinHash operators consume: at 10^12 documents the exploded stream
+    * pushed |corpus| x |shingles/doc| rows through a distinct exchange
+    * for a set a row-local fold computes in place.
+    */
+  def shingleArray(text: Column): Column = {
+    val tk = slice(split(text, " "), 1, MaxTokens)
+    val n = size(tk)
+    array_distinct(transform(
+      when(n >= 3, sequence(lit(1), n - 2)).otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+        element_at(tk, i + 2))))
+  }
+
   /** Modular integer id of a shingle (for MinHash): fold the three token
     * ints base 31 mod P.
     */
