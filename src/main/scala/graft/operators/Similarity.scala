@@ -64,8 +64,12 @@ object Similarity {
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), dotCol(col("qa"), col("qvec")).as("dot"))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))
-    val out = dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-    Caching.materializeAndRelease(out)
+    // returned LAZY: this operator persists no intermediates, so the
+    // house materialize-then-release step had nothing to protect — it
+    // just computed the whole query once for the count and again for the
+    // caller's action. Caching.release on the result stays a harmless
+    // no-op.
+    dots.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
   /** Deterministic integer hyperplane component w(j, i): closed form so
