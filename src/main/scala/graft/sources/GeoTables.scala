@@ -86,10 +86,17 @@ object GeoTables {
     val M = 1000000000L
     def unit(salt: Long) =
       pmod(xxhash64(col("id"), lit(seed), lit(salt)), lit(M)).cast("double") / M.toDouble
+    // coalesce never fires (the pmod modulus is a non-zero literal) but
+    // makes x/y PROVABLY non-nullable: pmod is declared nullable, so
+    // every downstream join key derived from these columns dragged a
+    // pushed-down isnotnull filter that RE-DERIVED the whole
+    // xxhash64+cell_of chain per row below the projection (round-7 plan
+    // audit: pip_join evaluated its point-side expressions twice per row
+    // across 2M rows). Values are bit-identical.
     spark.range(n).select(
       col("id").as("point_id"),
-      (lit(minX) + unit(1L) * spanX).as("x"),
-      (lit(minY) + unit(2L) * spanY).as("y")
+      coalesce(lit(minX) + unit(1L) * spanX, lit(0.0)).as("x"),
+      coalesce(lit(minY) + unit(2L) * spanY, lit(0.0)).as("y")
     ).as[PointRow]
   }
 
