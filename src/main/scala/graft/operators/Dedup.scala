@@ -66,18 +66,22 @@ object Dedup {
     val cand = a.join(b, Seq("lang", "shingle"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // exact verify on the FULL shingle sets of the candidates only
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b2"), col("shingle").as("sb")),
-        col("doc_b") === col("doc_b2") && col("sa") === col("sb"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("uni", col("na") + col("nb") - col("inter"))
+    // exact verify on the FULL shingle sets of the candidates only —
+    // per-doc distinct shingle ARRAYS built in-row (same set as the
+    // exploded frame; see TextOps.shingleArray) and intersected in-row:
+    // 1 slim row per candidate pair instead of |pairs| x |shingles/doc|
+    // re-join rows + a sizes aggregate + two more joins (the same
+    // round-7 rewrite as minhashLshPairs' verify; candidates can only be
+    // docs with >= 1 shingle, so the inner joins keep the old semantics).
+    val shArr = docs.select(col("doc_id"), TextOps.shingleArray(col("text")).as("sa"))
+    val out = cand
+      .join(shArr.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(shArr.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sa", "sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("szs"))
+      .withColumn("uni", col("szs") - col("inter"))
       .where(col("inter") * den >= col("uni") * num)
       .select("doc_a", "doc_b", "inter", "uni")
     Caching.materializeAndRelease(out, sh)
@@ -391,15 +395,21 @@ object Dedup {
     */
   def clusterAssign(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
                     num: Int, den: Int): DataFrame = {
-    val pairs = minhashLshPairs(docs, numHashes, rowsPerBand, num, den,
+    // the pair frame goes to CC LAZILY: connectedComponents' own input
+    // checkpoint materializes the pair pipeline (reading the shingle
+    // cache), so the former standalone pairs persist + count pass — a
+    // full extra evaluation of the pair pipeline whose cache was read
+    // exactly once — disappears. The shingle cache is dropped as soon as
+    // the checkpoint exists.
+    val s = minhashLshStages(docs, numHashes, rowsPerBand, num, den,
       expandWithin = false)
-    val cc = Components.connectedComponents(pairs.select("doc_a", "doc_b"))
+    val cc = Components.connectedComponents(s.out.select("doc_a", "doc_b"))
+    s.shA.unpersist(blocking = false)
     val out = docs.select(col("doc_id").as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     val result = Caching.materializeAndRelease(out)
     Caching.release(cc)
-    Caching.release(pairs)
     result
   }
 

@@ -293,7 +293,18 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, tau2x10000: Int,
                    planes: Int = 8, dim: Int = 64,
                    bucketMax: Int = 65536): DataFrame = {
-    val q = quantized(embeddings).persist(StorageLevel.MEMORY_AND_DISK)
+    // one cached quantized-ARRAY frame: the exact verify computes dot and
+    // both norms with in-row aggregate(zip_with) — 1 slim row per
+    // candidate pair, where the former per-component formulation shipped
+    // dim (= 64) rows per pair through the dot exchange plus a norms
+    // aggregate + two joins (the annTopK round-5 rewrite, applied here).
+    // Integer dots are order-independent, so outputs are bit-identical.
+    val qvec = embeddings
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000.0, 0).cast("long")).as("qvec"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val meta = lshBuckets(embeddings, planes, dim)
       .join(embeddings.select("vec_id", "label"), "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -312,19 +323,16 @@ object Similarity {
           col("a.label") === col("ok_label") && col("a.bucket") === col("ok_bucket"))
       })
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val norms = q.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
-    val dots = cand
-      .join(q.select(col("vec_id").as("vec_a"), col("i"), col("q").as("qa")), "vec_a")
-      .join(q.select(col("vec_id").as("vec_b"), col("i"), col("q").as("qb")),
-        Seq("vec_b", "i"))
-      .groupBy("vec_a", "vec_b")
-      .agg(sum(col("qa") * col("qb")).as("dot"))
-    val out = dots
-      .join(norms.select(col("vec_id").as("vec_a"), col("n2").as("na2")), "vec_a")
-      .join(norms.select(col("vec_id").as("vec_b"), col("n2").as("nb2")), "vec_b")
+    val out = cand
+      .join(qvec.select(col("vec_id").as("vec_a"), col("qvec").as("qa")), "vec_a")
+      .join(qvec.select(col("vec_id").as("vec_b"), col("qvec").as("qb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        dotCol(col("qa"), col("qb")).as("dot"),
+        dotCol(col("qa"), col("qa")).as("na2"),
+        dotCol(col("qb"), col("qb")).as("nb2"))
       .where(col("dot") > 0 &&
         col("dot") * col("dot") * 10000L >= lit(tau2x10000.toLong) * col("na2") * col("nb2"))
       .select("vec_a", "vec_b", "dot")
-    Caching.materializeAndRelease(out, meta, q)
+    Caching.materializeAndRelease(out, meta, qvec)
   }
 }
