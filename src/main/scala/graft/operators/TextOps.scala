@@ -107,16 +107,26 @@ object TextOps {
   /** Per-document quality metrics, all integers:
     * n_chars, n_tokens, stop_hits (occurrences of marker stopwords),
     * n_subwords (BPE-ish upper bound: ceil(len/4) per token).
+    *
+    * Computed entirely IN-ROW from the token array — one codegen'd
+    * projection, zero exchanges: per-doc sums over the doc's own tokens
+    * never needed a shuffle, yet the former explode + groupBy + join
+    * shape pushed |corpus| x |tokens/doc| rows through an exchange and
+    * re-joined the doc row. Values are integer-identical (same slice,
+    * same per-token terms); the isNotNull guard mirrors the old inner
+    * join, where a null text produced no token rows and hence no output
+    * row.
     */
-  def quality(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(ceil(length(col("tok")) / 4.0).cast("long")).as("n_subwords"),
-        sum(when(col("tok").isin("the", "a", "of", "and"), 1L).otherwise(0L)).as("stop_hits"))
-    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
-      .join(toks, "doc_id")
-  }
+  def quality(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        slice(split(col("text"), " "), 1, MaxTokens).as("tk"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        aggregate(col("tk"), lit(0L),
+          (acc, t) => acc + ceil(length(t) / 4.0)).as("n_subwords"),
+        size(filter(col("tk"),
+          t => t.isin("the", "a", "of", "and"))).cast("long").as("stop_hits"))
 
   /** Gopher-style within-document repetition signals (Rae et al. 2021's
     * quality-filter family, relational form): per document,
@@ -139,30 +149,53 @@ object TextOps {
     * join), mirroring the oracle.
     */
   def repetition(docs: DataFrame): DataFrame = {
+    // Entirely IN-ROW — one codegen'd projection, ZERO exchanges, where
+    // the former shape exploded the gram and token streams into three
+    // grouped aggregates (one with a countDistinct expansion) plus a
+    // join. Every signal is a per-document function of the doc's own
+    // token array:
+    //   - n_grams / n_gram_distinct: the gram ARRAY (same construction
+    //     as before) and size(array_distinct(...));
+    //   - the most-frequent token: one pass over array_sort(tk) counting
+    //     runs — a strict `run > best` update means the FIRST token to
+    //     reach a count wins, and in ascending order that is the
+    //     lexicographically smallest, exactly the old min(struct(-cnt,
+    //     tok)) tie-break.
+    // The n >= 3 filter mirrors the old inner join of the gram aggregate
+    // (docs with < 3 tokens emitted no grams and hence no row); values
+    // are integer-identical, and the milli ratios keep the exact same
+    // `div` expressions.
     val n = size(col("tk"))
-    val grams = docs
+    val gramArr = transform(
+      when(n >= 3, sequence(lit(1), n - 2)).otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", element_at(col("tk"), i),
+        element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))
+    // run-length argmax over the sorted token array: state =
+    // (prev token, current run, best count, best token)
+    val best = aggregate(array_sort(col("tk")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bc"), lit(null).cast("string").as("bt")),
+      (acc, t) => {
+        val run = when(acc.getField("prev") === t, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val better = run > acc.getField("bc")
+        struct(t.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("bc")).as("bc"),
+          when(better, t).otherwise(acc.getField("bt")).as("bt"))
+      },
+      acc => struct(acc.getField("bc").as("cnt"), acc.getField("bt").as("tok")))
+    docs
       .select(col("doc_id"), slice(split(col("text"), " "), 1, MaxTokens).as("tk"))
-      .select(col("doc_id"), col("tk"),
-        explode(when(n >= 3, sequence(lit(1), n - 2))
-          .otherwise(array().cast("array<int>"))).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", element_at(col("tk"), col("i")),
-          element_at(col("tk"), col("i") + 1),
-          element_at(col("tk"), col("i") + 2)).as("gram"))
-    val g = grams.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("gram")).as("n_gram_distinct"))
-    val top = tokens(docs).groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_tokens"),
-        min(struct((-col("cnt")).as("nc"), col("tok").as("t"))).as("m"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("m.t").as("top_tok"), (-col("m.nc")).as("top_tok_cnt"))
-    g.join(top, "doc_id")
+      .where(n >= 3)
+      .select(col("doc_id"), n.cast("long").as("n_tokens"), best.as("m"),
+        gramArr.as("grams"))
+      .select(col("doc_id"), col("n_tokens"), col("m.tok").as("top_tok"),
+        col("m.cnt").as("top_tok_cnt"),
+        expr("m.cnt * 1000 div n_tokens").as("top_tok_milli"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_gram_distinct"))
       .select(col("doc_id"), col("n_tokens"), col("top_tok"),
-        col("top_tok_cnt"),
-        expr("top_tok_cnt * 1000 div n_tokens").as("top_tok_milli"),
+        col("top_tok_cnt"), col("top_tok_milli"),
         col("n_grams"), col("n_gram_distinct"),
         expr("(n_grams - n_gram_distinct) * 1000 div n_grams").as("dup_gram_milli"))
   }
@@ -178,11 +211,17 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "est"))
 
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(docs)
+    // per-language marker hits folded IN-ROW over the token array — one
+    // codegen'd projection, no explode/groupBy exchange (same count as
+    // the former sum(when(isin))); the isNotNull guard mirrors the old
+    // aggregate, where a null text had no token rows and hence no output
+    // row
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      sum(when(col("tok").isin(markers: _*), 1L).otherwise(0L)).as(s"score_$lang")
+      size(filter(col("tk"), t => t.isin(markers: _*))).cast("long").as(s"score_$lang")
     }
-    val scored = toks.groupBy("doc_id").agg(scores.head, scores.tail: _*)
+    val scored = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, MaxTokens).as("tk"))
+      .select(col("doc_id") +: scores: _*)
     // argmax with deterministic tie-break on language order en < de? use
     // explicit cascade: greatest + case, ties resolved alphabetically
     val langs = langMarkers.keys.toSeq.sorted
