@@ -40,6 +40,30 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val Array(ca, cb) = edges.columns.take(2)
+    run(edges.select(col(ca).as("u"), col(cb).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct(), maxIters)
+  }
+
+  /** [[connectedComponents]] for an input the CALLER guarantees is
+    * already canonical — every edge (u, v) with u < v, no self-loops, no
+    * duplicates — skipping the normalization projection and its distinct
+    * exchange (at campaign scale that exchange carries the full pair
+    * set once for nothing). The dedup compact pair shape qualifies by
+    * construction: verified rep pairs are banding-distinct with
+    * rep_a < rep_b, membership rows are (rep, member) with rep = the
+    * group's MIN doc_id, and the two branches are disjoint (a member
+    * row's right side is never a representative).
+    */
+  private[operators] def connectedComponentsCanonical(
+      edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val Array(ca, cb) = edges.columns.take(2)
+    run(edges.select(col(ca).as("u"), col(cb).as("v")), maxIters)
+  }
+
+  private def run(edges0: DataFrame, maxIters: Int): DataFrame = {
     // (edge count, order-free xor checksum) per iterate, OBSERVED during
     // the iterate's own eager-checkpoint job (CollectMetrics accumulators
     // fill while the checkpoint materializes) — the former separate
@@ -52,12 +76,7 @@ object Components {
     // signature match is confirmed by one exact anti-join check before
     // the loop exits — the exact check runs once (at the fixpoint), not
     // per iteration.
-    var (e, sig) = truncatedSigned(
-      edges.select(col(ca).as("u"), col(cb).as("v"))
-        .where(col("u") =!= col("v"))
-        .select(least(col("u"), col("v")).as("u"),
-          greatest(col("u"), col("v")).as("v"))
-        .distinct())
+    var (e, sig) = truncatedSigned(edges0)
     var it = 0
     var converged = false
     try {

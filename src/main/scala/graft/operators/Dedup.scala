@@ -403,7 +403,10 @@ object Dedup {
     // the checkpoint exists.
     val s = minhashLshStages(docs, numHashes, rowsPerBand, num, den,
       expandWithin = false)
-    val cc = Components.connectedComponents(s.out.select("doc_a", "doc_b"))
+    // the compact pair shape is canonical by construction (see the
+    // Canonical entry's scaladoc), so CC skips its normalization distinct
+    val cc = Components.connectedComponentsCanonical(
+      s.out.select("doc_a", "doc_b"))
     s.shA.unpersist(blocking = false)
     val out = docs.select(col("doc_id").as("id"))
       .join(cc, Seq("id"), "left")
