@@ -510,32 +510,24 @@ object SpatialJoins {
           f"resolved=$nResolved nLeft=$nLeft stacked=$stackedDepth")
     }
 
-    // Ring rounds that cannot resolve a TYPICAL point are skipped: with
-    // label density d = nLabels / 4^level, a radius-r Chebyshev disk
-    // carries (2r+1)^2 * d expected candidates, and when that is below k
-    // the round's full candidate explode + window pass is paid to resolve
-    // ~nothing (measured round 7: the bench schedule Seq(1, 2) at density
-    // 0.12 labels/cell ran two complete window passes over the entire
-    // point set ahead of the level-5 extension round that produced the
-    // whole answer). Skipping is OUTPUT-INVARIANT: a point unresolved in
-    // round r resolves identically in a later round — its candidate disk
-    // there is a superset and the resolution guarantee radius only grows
-    // — so only the schedule's cost changes, never the kNN truth
-    // (SpatialJoinSpec's brute-force equalities hold on every schedule).
-    // The count job doubles as the lab cache materialization that round
-    // 1's broadcast build used to pay serially.
-    val totCells = math.pow(4.0, lvl0)
-    lazy val nLabels = lab.count()
-    def ringHopeless(r: Int): Boolean =
-      (2.0 * r + 1.0) * (2.0 * r + 1.0) * nLabels.toDouble < k.toDouble * totCells
-
+    // NOTE (round 7): a "skip ring rounds whose expected candidate count
+    // (2r+1)^2 * nLabels / 4^level is below k" heuristic was tried here,
+    // measured, and REVERTED. It sped the local[32] bench up (~0.7 s:
+    // fewer passes beat more exchanged rows when per-pass fixed cost
+    // dominates tiny data) but regressed the scale-64 campaign 6x at 4
+    // cores (knn 28 -> 177 s): GLOBAL density wildly underestimates
+    // clustered data — the synthetic labels occupy a 40x30-degree window
+    // where the real density is ~6.6 labels/cell, so the "hopeless"
+    // rounds actually resolve almost every point cheaply at the fine
+    // level, and skipping them pushed the full point set into a 16x
+    // denser coarser-level pass (~1B pruned candidate rows instead of a
+    // few million). A clustered-robust variant (occupied-cell density)
+    // can never fire for k <= 9 because occupied density is >= 1 by
+    // definition — dead code. Scheduled rounds therefore always run;
+    // the schedule stays the caller's scale knob.
     val it = rounds.iterator
     while (it.hasNext && nLeft > 0) {
       val r = it.next()
-      if (ringHopeless(r)) {
-        if (sys.env.contains("SPARK_GRAFT_KNN_DEBUG"))
-          System.err.println(s"[knn] skip ring r=$r (expected candidates < k)")
-      } else {
       // in carry mode, rounds after the first explode only the new shell;
       // in the default mode every round explodes the full disk for the
       // (small) unresolved tail
@@ -562,7 +554,6 @@ object SpatialJoins {
       }
       resolvePass(candAll, (r * minDim) * (r * minDim), requireK = true, s"r=$r")
       prevR = r
-      }
     }
     // ADAPTIVE EXTENSION ROUNDS replace the old all-labels cross-join
     // fallback (which, in cell-partitioned mode, was the engine's one
